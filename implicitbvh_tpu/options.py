@@ -1,0 +1,53 @@
+"""BVHOptions — the frozen, hashable, jit-static configuration object.
+
+TPU-native counterpart of /root/reference/src/utils.jl:34-93.  The
+reference's CPU thread counts / per-op grain sizes and GPU block size map to
+XLA/Pallas tuning knobs here; index and Morton dtypes are kept with the same
+semantics (Int32 indices by default — the efficient width on accelerators,
+ref src/build.jl:383-385).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+from .morton import DefaultMortonAlgorithm, MortonAlgorithm
+
+
+@dataclasses.dataclass(frozen=True)
+class BVHOptions:
+    """Options for building and traversing BVHs.
+
+    Fields
+    - ``index_bits``: width of the indices used everywhere (32 or 64);
+      mirrors the reference's ``index_exemplar``.
+    - ``morton``: the Morton encoding algorithm object.
+    - ``capacity_growth``: when a traversal's contact/frontier buffer
+      overflows its static capacity, the Python wrapper re-runs with capacity
+      scaled by this factor (the TPU analogue of ``resize!``).
+    - ``min_capacity``: smallest contact-buffer capacity to compile for.
+    - ``block_size``: Pallas tile size hint for the custom kernels.
+    """
+
+    index_bits: int = 32
+    morton: MortonAlgorithm = DefaultMortonAlgorithm(bits=32)
+    capacity_growth: float = 2.0
+    min_capacity: int = 64
+    block_size: int = 256
+
+    def __post_init__(self):
+        if self.index_bits not in (32, 64):
+            raise ValueError("index_bits must be 32 or 64")
+        if self.capacity_growth <= 1.0:
+            raise ValueError("capacity_growth must be > 1")
+        if self.min_capacity <= 0 or self.block_size <= 0:
+            raise ValueError("min_capacity and block_size must be positive")
+
+    @property
+    def index_dtype(self):
+        return jnp.int32 if self.index_bits == 32 else jnp.int64
+
+
+DEFAULT_OPTIONS = BVHOptions()

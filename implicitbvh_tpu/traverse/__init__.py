@@ -1,0 +1,10 @@
+from .types import BFSTraversal, BVHTraversal, LVTTraversal, TraversalAlgorithm
+from .api import default_start_level, traverse
+from .lvt import (traverse_lvt_pair_fixed, traverse_lvt_single_fixed,
+                  default_start_level_lvt)
+
+__all__ = [
+    "BFSTraversal", "BVHTraversal", "LVTTraversal", "TraversalAlgorithm",
+    "default_start_level", "traverse",
+    "traverse_lvt_single_fixed", "traverse_lvt_pair_fixed",
+]

@@ -1,0 +1,128 @@
+"""Public traversal API: ``traverse`` with algorithm dispatch and the
+capacity-managing host wrapper.
+
+Mirrors /root/reference/src/traverse/traverse.jl:110-256.  The host wrapper
+performs exactly one device->host sync per traversal (the contact total —
+the reference's LVT does the same, traverse_single.jl:60) and manages the
+static output capacity with a growth policy, the XLA analogue of the
+reference's ``resize!``-based cache reuse.  For sync-free pipelines use the
+``*_fixed`` functions, which stay fully on device.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Union
+
+import jax.numpy as jnp
+
+from ..build import BVH
+from ..options import DEFAULT_OPTIONS, BVHOptions
+from .types import BFSTraversal, BVHTraversal, LVTTraversal, TraversalAlgorithm
+from . import lvt as _lvt
+
+
+def default_start_level(bvh: BVH, alg: TraversalAlgorithm = LVTTraversal()) -> int:
+    """Ref: breadth_first.jl:4-6 and leaf_vs_tree.jl:4-6."""
+    if isinstance(alg, BFSTraversal):
+        return max(bvh.tree.levels // 2, bvh.built_level)
+    return max(1, bvh.built_level)
+
+
+def _round_capacity(total: int, options: BVHOptions) -> int:
+    """Round a required size up to the compile-friendly capacity grid."""
+    need = max(int(total), options.min_capacity)
+    return 1 << math.ceil(math.log2(need))
+
+
+def _finish(total, out, offsets, start_level1, start_level2=0, num_checks=0):
+    return BVHTraversal(
+        num_contacts=total, cache1=out, cache2=offsets,
+        start_level1=start_level1, start_level2=start_level2,
+        num_checks=num_checks)
+
+
+def traverse(bvh: BVH,
+             *args,
+             start_level: Optional[int] = None,
+             start_level1: Optional[int] = None,
+             start_level2: Optional[int] = None,
+             narrow=None,
+             cache: Optional[BVHTraversal] = None,
+             options: BVHOptions = DEFAULT_OPTIONS) -> BVHTraversal:
+    """Contact detection: ``traverse(bvh)`` for self-contact or
+    ``traverse(bvh1, bvh2)`` for two-tree contact, with an optional
+    algorithm argument (``LVTTraversal()`` default, or ``BFSTraversal()``).
+
+    Ref: src/traverse/traverse.jl:121-230.  Returns a :class:`BVHTraversal`
+    whose ``contacts`` are (i, j) user-index pairs — sorted (min, max) for
+    self-contact, tree-order (i1, i2) for pair contact.
+    """
+    bvh2: Optional[BVH] = None
+    alg: TraversalAlgorithm = LVTTraversal()
+    for a in args:
+        if isinstance(a, BVH):
+            bvh2 = a
+        elif isinstance(a, TraversalAlgorithm):
+            alg = a
+        else:
+            raise TypeError(f"unexpected positional argument {a!r}")
+
+    if bvh2 is not None:
+        return _traverse_pair(bvh, bvh2, alg,
+                              start_level1=start_level1,
+                              start_level2=start_level2,
+                              narrow=narrow, cache=cache, options=options)
+
+    if start_level is None:
+        start_level = default_start_level(bvh, alg)
+    if not (bvh.built_level <= start_level <= bvh.tree.levels):
+        raise ValueError(
+            f"need built_level <= start_level <= levels, got {start_level}")
+
+    if bvh.tree.real_nodes <= 1:
+        return _lvt._empty_traversal(bvh, start_level)
+
+    if isinstance(alg, BFSTraversal):
+        from . import bfs as _bfs
+        return _bfs.traverse_bfs_single(bvh, start_level=start_level,
+                                        narrow=narrow, cache=cache,
+                                        options=options)
+
+    counts = _lvt.lvt_count_single(bvh, start_level, narrow)
+    offsets = jnp.cumsum(counts) - counts
+    total = int(counts.sum())           # the single host sync
+    capacity = _round_capacity(total, options)
+    out = _lvt.lvt_write_single(bvh, offsets, start_level, capacity, narrow)
+    return _finish(total, out, offsets, start_level)
+
+
+def _traverse_pair(bvh1: BVH, bvh2: BVH, alg: TraversalAlgorithm, *,
+                   start_level1, start_level2, narrow, cache, options):
+    if start_level1 is None:
+        start_level1 = default_start_level(bvh1, alg)
+    if start_level2 is None:
+        start_level2 = default_start_level(bvh2, alg)
+    for b, sl in ((bvh1, start_level1), (bvh2, start_level2)):
+        if not (b.built_level <= sl <= b.tree.levels):
+            raise ValueError(f"invalid start level {sl}")
+
+    if isinstance(alg, BFSTraversal):
+        from . import bfs as _bfs
+        return _bfs.traverse_bfs_pair(bvh1, bvh2,
+                                      start_level1=start_level1,
+                                      start_level2=start_level2,
+                                      narrow=narrow, cache=cache,
+                                      options=options)
+
+    if bvh1.num_leaves >= bvh2.num_leaves:
+        lanes, target, sl, flip = bvh1.leaves, bvh2, start_level2, False
+    else:
+        lanes, target, sl, flip = bvh2.leaves, bvh1, start_level1, True
+    counts = _lvt.lvt_count_pair(lanes, target, sl, narrow, flip)
+    offsets = jnp.cumsum(counts) - counts
+    total = int(counts.sum())
+    capacity = _round_capacity(total, options)
+    out = _lvt.lvt_write_pair(lanes, target, offsets, sl, capacity,
+                              narrow, flip)
+    return _finish(total, out, offsets, start_level1, start_level2)

@@ -1,0 +1,18 @@
+"""Test configuration: run the suite on a virtual 8-device CPU mesh.
+
+CPU tests are the first-principles ground truth (differential vs brute
+force); TPU correctness then follows from XLA portability, mirroring the
+reference's strategy (ref /root/reference/test/gputests.jl:1-2).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
