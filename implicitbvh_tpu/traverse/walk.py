@@ -101,10 +101,13 @@ def stackless_walk(
         at_leaf = level == levels
 
         # --- node test (masked; gather is clamped so inactive lanes are safe)
-        mem0 = jnp.clip(cur - skips[jnp.clip(level - 1, 0, levels - 1)] - 1,
-                        0, num_n - 1)
-        node_vol = jax.tree_util.tree_map(lambda a: a[mem0], nodes)
-        hit_node = node_test(node_vol)
+        if tree.num_nodes > 0:
+            mem0 = jnp.clip(cur - skips[jnp.clip(level - 1, 0, levels - 1)] - 1,
+                            0, num_n - 1)
+            node_vol = jax.tree_util.tree_map(lambda a: a[mem0], nodes)
+            hit_node = node_test(node_vol)
+        else:  # single-leaf tree: no stored nodes, every visit is a leaf visit
+            hit_node = jnp.zeros_like(active)
         descend = active & ~pruned & ~virt & ~at_leaf & hit_node
 
         # --- leaf test + emission
