@@ -29,8 +29,8 @@ import jax.numpy as jnp
 from .morton import DefaultMortonAlgorithm, morton_encode
 from .options import DEFAULT_OPTIONS, BVHOptions
 from .tree import ImplicitTree, compute_skips
-from .volumes import (BBox, BSphere, Volume, center, convert_volume, merge,
-                      merge_into)
+from .volumes import (BBox, BSphere, Volume, center_coords, convert_volume,
+                      merge, merge_into)
 
 
 class Leaves(NamedTuple):
@@ -74,19 +74,86 @@ def wrap_bounding_volumes(volumes: Volume, options: BVHOptions = DEFAULT_OPTIONS
 
 
 def _sort_by_morton(leaves: Leaves) -> Leaves:
-    """Sort leaves along the Z-curve (ref build.jl:248-253)."""
-    n = leaves.index.shape[0]
-    iota = jnp.arange(n, dtype=jnp.int32)
-    if isinstance(leaves.morton, tuple):
-        hi, lo = leaves.morton
-        _, _, order = jax.lax.sort((hi, lo, iota), num_keys=2, is_stable=True)
+    """Sort leaves along the Z-curve (ref build.jl:248-253).
+
+    Uses a single *variadic* ``lax.sort`` carrying every leaf field through
+    the comparator network — on TPU this is ~6x faster than sorting
+    (key, iota) and gathering, because arbitrary-index gathers scalarize.
+    """
+    vol = leaves.volume
+    if isinstance(vol, BSphere):
+        data = [*vol.xs, vol.r]
     else:
-        _, order = jax.lax.sort((leaves.morton, iota), num_keys=1, is_stable=True)
-    return jax.tree_util.tree_map(lambda a: a[order], leaves)
+        data = [*vol.los, *vol.ups]
+    if isinstance(leaves.morton, tuple):
+        keys = list(leaves.morton)
+    else:
+        keys = [leaves.morton]
+    ops = jax.lax.sort((*keys, *data, leaves.index), num_keys=len(keys),
+                       is_stable=True)
+    keys_s = ops[:len(keys)]
+    data_s = ops[len(keys):-1]
+    index_s = ops[-1]
+    if isinstance(vol, BSphere):
+        vol_s = BSphere(tuple(data_s[:3]), data_s[3])
+    else:
+        vol_s = BBox(tuple(data_s[:3]), tuple(data_s[3:6]))
+    morton_s = tuple(keys_s) if len(keys_s) == 2 else keys_s[0]
+    return Leaves(volume=vol_s, index=index_s, morton=morton_s)
 
 
 def _node_kind_of(volume: Volume):
     return BSphere if isinstance(volume, BSphere) else BBox
+
+
+def _aggregate_bbox_fast(leaves_vol: Volume, tree: ImplicitTree,
+                         built_level: int) -> BBox:
+    """Fast path for BBox nodes: since box merges are pure min/max (and the
+    reference's enclosure-aware sphere->box pair constructor provably equals
+    the plain union of the two spheres' boxes), every level is an
+    associative reduction.
+
+    TPU formulation: stack the six box coordinates — negating ``up`` so all
+    six reduce with ``min`` — into one (6, N) array, pad the leaf level to
+    the perfect-tree width with +inf sentinels (min-neutral, which also
+    reproduces the reference's virtual-right-child copy semantics), and
+    reduce each level with a single ``reshape(6, -1, 2).min(-1)``.  This
+    replaces per-level strided slicing (lane-stride-2 relayouts are ~5x
+    slower on TPU) and runs all coordinates in one op per level.
+    """
+    from .volumes import bbox_of_bsphere
+    levels = tree.levels
+    dtype = leaves_vol.dtype
+    num_nodes = tree.num_nodes
+
+    if levels < 2 or tree.real_nodes < 2:
+        z = jnp.zeros((3, max(num_nodes, 0)), dtype)
+        return BBox((z[0], z[1], z[2]), (z[0], z[1], z[2]))
+
+    box = leaves_vol if isinstance(leaves_vol, BBox) \
+        else bbox_of_bsphere(leaves_vol)
+    stacked = jnp.stack([*box.los, -box.ups[0], -box.ups[1], -box.ups[2]])
+    full = 1 << (levels - 1)
+    n = tree.real_leaves
+    if full > n:
+        pad = jnp.full((6, full - n), jnp.inf, dtype)
+        stacked = jnp.concatenate([stacked, pad], axis=1)
+
+    per_level = {}
+    c = stacked
+    stop = max(built_level, 1)
+    for lvl in range(levels - 1, stop - 1, -1):
+        c = c.reshape(6, -1, 2).min(-1)
+        per_level[lvl] = c[:, :tree.level_nodes(lvl)]
+
+    chunks = []
+    for lvl in range(1, levels):
+        if lvl in per_level:
+            chunks.append(per_level[lvl])
+        else:
+            chunks.append(jnp.zeros((6, tree.level_nodes(lvl)), dtype))
+    flat = jnp.concatenate(chunks, axis=1)
+    return BBox((flat[0], flat[1], flat[2]), (-flat[3], -flat[4], -flat[5]))
 
 
 def _aggregate(leaves_vol: Volume, tree: ImplicitTree, built_level: int,
@@ -95,14 +162,20 @@ def _aggregate(leaves_vol: Volume, tree: ImplicitTree, built_level: int,
 
     Returns the flat node array in memory-index layout (level 1 first).
     Levels above ``built_level`` that are not built are zero-filled.
+    BBox nodes take the stacked min-reduction fast path; BSphere nodes use
+    the generic pairwise merge (the enclosure-aware sphere merge is not
+    associative, so it must stay tree-structured).
     """
+    if node_kind is BBox:
+        return _aggregate_bbox_fast(leaves_vol, tree, built_level)
     levels = tree.levels
     dtype = leaves_vol.dtype
 
     def zeros_like_level(m):
+        z3 = tuple(jnp.zeros((m,), dtype) for _ in range(3))
         if node_kind is BSphere:
-            return BSphere(jnp.zeros((m, 3), dtype), jnp.zeros((m,), dtype))
-        return BBox(jnp.zeros((m, 3), dtype), jnp.zeros((m, 3), dtype))
+            return BSphere(z3, jnp.zeros((m,), dtype))
+        return BBox(z3, tuple(jnp.zeros((m,), dtype) for _ in range(3)))
 
     if levels < 2 or tree.real_nodes < 2:
         return zeros_like_level(tree.num_nodes)
@@ -243,7 +316,7 @@ def build(bounding_volumes: Union[Volume, Leaves],
     alg = options.morton
     if not isinstance(alg, DefaultMortonAlgorithm):
         raise TypeError(f"unsupported morton algorithm {alg}")
-    morton = morton_encode(center(leaves.volume), alg)
+    morton = morton_encode(center_coords(leaves.volume), alg)
     leaves = Leaves(leaves.volume, leaves.index, morton)
     leaves = _sort_by_morton(leaves)
 

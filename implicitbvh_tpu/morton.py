@@ -105,19 +105,20 @@ def _split3_21bit_hi_lo(v):
 # Extrema with epsilon expansion (ref: src/morton/utils.jl:1-72)
 # --------------------------------------------------------------------------
 
-def bounding_volumes_extrema(centers) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Exclusive (mins, maxs) bounds of an (N, 3) center array.
+def bounding_volumes_extrema(centers):
+    """Exclusive (mins, maxs) bounds of centers given as a coordinate tuple
+    of (N,) arrays (or an (N, 3) array).
 
     Expanded by float-type relative precision so all quantized coordinates
-    are strictly inside [0, 1).
+    are strictly inside [0, 1).  Returns two coordinate 3-tuples.
     """
-    T = centers.dtype
-    mins = jnp.min(centers, axis=0)
-    maxs = jnp.max(centers, axis=0)
+    from .volumes import as_coords
+    centers = as_coords(centers)
+    T = centers[0].dtype
     rp = jnp.asarray(relative_precision(T), T)
     tiny = jnp.asarray(jnp.finfo(T).tiny, T)
-    mins = mins - rp * jnp.abs(mins) - tiny
-    maxs = maxs + rp * jnp.abs(maxs) + tiny
+    mins = tuple(jnp.min(c) - rp * jnp.abs(jnp.min(c)) - tiny for c in centers)
+    maxs = tuple(jnp.max(c) + rp * jnp.abs(jnp.max(c)) + tiny for c in centers)
     return mins, maxs
 
 
@@ -150,15 +151,15 @@ class DefaultMortonAlgorithm(MortonAlgorithm):
             raise ValueError(f"morton bits must be 16/32/64, got {self.bits}")
 
 
-def _quantize(centers, mins, maxs, scaling):
-    T = centers.dtype
-    scaled = (centers - mins) / (maxs - mins)
+def _quantize(c, mn, mx, scaling):
+    scaled = (c - mn) / (mx - mn)
     # trunc toward zero like the reference's unsafe_trunc
-    return (scaled * jnp.asarray(scaling, T)).astype(jnp.uint32)
+    return (scaled * jnp.asarray(scaling, c.dtype)).astype(jnp.uint32)
 
 
 def morton_encode(centers, alg: DefaultMortonAlgorithm):
-    """Morton codes for an (N, 3) array of centers.
+    """Morton codes for centers given as a coordinate tuple of (N,) arrays
+    (or an (N, 3) array).
 
     Returns a single (N,) unsigned array for 16/32-bit codes (and for 64-bit
     when x64 is enabled); for 64-bit without x64 support returns a tuple
@@ -166,16 +167,19 @@ def morton_encode(centers, alg: DefaultMortonAlgorithm):
 
     Ref: morton_encode_single, src/morton/default.jl:91-108.
     """
-    T = centers.dtype
+    from .volumes import as_coords
+    centers = as_coords(centers)
+    T = centers[0].dtype
     if alg.compute_extrema:
         mins, maxs = bounding_volumes_extrema(centers)
     else:
-        mins = jnp.asarray(alg.mins, T)
-        maxs = jnp.asarray(alg.maxs, T)
+        mins = tuple(jnp.asarray(m, T) for m in alg.mins)
+        maxs = tuple(jnp.asarray(m, T) for m in alg.maxs)
 
     scaling = MORTON_SCALING[alg.bits]
-    q = _quantize(centers, mins, maxs, scaling)  # (N, 3) uint32
-    q1, q2, q3 = q[..., 0], q[..., 1], q[..., 2]
+    q1 = _quantize(centers[0], mins[0], maxs[0], scaling)
+    q2 = _quantize(centers[1], mins[1], maxs[1], scaling)
+    q3 = _quantize(centers[2], mins[2], maxs[2], scaling)
 
     if alg.bits == 64 and not jax.config.jax_enable_x64:
         h1, l1 = _split3_21bit_hi_lo(q1)
@@ -195,11 +199,11 @@ def morton_encode(centers, alg: DefaultMortonAlgorithm):
 def morton_encode_single(center, mins, maxs, alg: DefaultMortonAlgorithm):
     """Scalar-style encode of a single (3,) center given explicit bounds
     (API parity with ref morton_encode_single)."""
-    c = jnp.asarray(center)[None, :]
+    c = jnp.asarray(center, jnp.float32)[None, :]
     sub = DefaultMortonAlgorithm(bits=alg.bits, compute_extrema=False,
                                  mins=tuple(map(float, mins)),
                                  maxs=tuple(map(float, maxs)))
-    m = morton_encode(c.astype(jnp.result_type(c.dtype, jnp.float32)), sub)
+    m = morton_encode(c, sub)
     if isinstance(m, tuple):
         return m[0][0], m[1][0]
     return m[0]

@@ -1,0 +1,193 @@
+"""Multi-chip scaling over a ``jax.sharding.Mesh``.
+
+The reference is a single-device library (SURVEY.md §2.2: no distributed
+backend); this module is the TPU-native *extension*: scale collision
+detection and ray tracing across chips on ICI by sharding the
+embarrassingly-parallel *query lanes* (leaves / rays) while replicating the
+(small) tree, with ``shard_map`` + ``psum`` for the contact totals.
+
+Design:
+
+- **Build** runs under ``jit`` with input shardings; the Morton sort is the
+  only genuinely global step (XLA gathers for it), everything else —
+  bounding-volume construction, Morton encoding, per-level aggregation — is
+  elementwise/reduction work that XLA shards freely.
+- **Traversal** shards lanes: each device runs the stackless walk for its
+  slice of leaves/rays against the replicated tree, writing contacts into
+  its own capacity slice.  Totals cross the ICI as one ``psum``; contact
+  buffers stay device-local (shape ``(n_dev * cap_per_dev, 2)`` overall).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..build import BVH, Leaves, build
+from ..traverse.walk import stackless_walk
+from ..volumes import BBox, BSphere, convert_volume, iscontact, isintersection
+
+AXIS = "data"
+
+
+def make_mesh(devices=None, axis: str = AXIS) -> Mesh:
+    """1D device mesh over all (or the given) devices."""
+    if devices is None:
+        devices = jax.devices()
+    import numpy as np
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def _local_self_contact(bvh: BVH, local_leaves: Leaves, lane_offset,
+                       start_level: int, capacity: int, narrow=None):
+    """Walk the replicated tree for a local slice of query leaves.
+
+    ``lane_offset`` is this device's global lane start (0-based); the dedup
+    rule needs *global* sorted-leaf positions.
+    """
+    k = local_leaves.index.shape[0]
+    idt = bvh.skips.dtype
+    q_node_vol = convert_volume(bvh.node_kind, local_leaves.volume)
+
+    def node_test(node_vol):
+        return iscontact(q_node_vol, node_vol)
+
+    def leaf_test(leaf):
+        hit = iscontact(local_leaves.volume, leaf.volume)
+        if narrow is not None:
+            hit = hit & narrow(local_leaves, leaf)
+        return hit
+
+    def emit(leaf):
+        a = jnp.minimum(local_leaves.index, leaf.index)
+        b = jnp.maximum(local_leaves.index, leaf.index)
+        return jnp.stack([a, b], axis=-1)
+
+    leaf_base = (1 << (bvh.tree.levels - 1)) - 1
+    dedup = (lane_offset + jnp.arange(1, k + 1, dtype=idt)) + leaf_base
+
+    counts, _ = stackless_walk(
+        bvh.tree, bvh.nodes, bvh.leaves, bvh.skips, start_level,
+        node_test, leaf_test, emit, num_lanes=k, dedup_ileaf=dedup)
+    offsets = jnp.cumsum(counts) - counts
+    _, out = stackless_walk(
+        bvh.tree, bvh.nodes, bvh.leaves, bvh.skips, start_level,
+        node_test, leaf_test, emit, num_lanes=k, dedup_ileaf=dedup,
+        capacity=capacity, offsets=offsets)
+    return counts.sum(), out
+
+
+def sharded_self_contact(mesh: Mesh, bvh: BVH, capacity_per_device: int,
+                         start_level: Optional[int] = None, narrow=None,
+                         axis: str = AXIS):
+    """Self-contact traversal with leaves sharded over ``mesh``.
+
+    Returns ``(total, contacts)`` where ``contacts`` is
+    ``(n_dev * capacity_per_device, 2)`` with each device's valid prefix in
+    its slice; ``total`` is the global contact count (psum over ICI).
+
+    Requires the leaf count to be divisible by the mesh size (pad upstream
+    if needed).
+    """
+    if start_level is None:
+        start_level = max(1, bvh.built_level)
+    n_dev = mesh.shape[axis]
+    n = bvh.num_leaves
+    if n % n_dev != 0:
+        raise ValueError(f"num_leaves {n} not divisible by mesh size {n_dev}")
+    per_dev = n // n_dev
+
+    def local_fn(bvh_rep, local_leaves):
+        lane_offset = jax.lax.axis_index(axis).astype(bvh_rep.skips.dtype) \
+            * per_dev
+        total, out = _local_self_contact(
+            bvh_rep, local_leaves, lane_offset, start_level,
+            capacity_per_device, narrow)
+        return jax.lax.psum(total, axis), out
+
+    fn = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=(P(), P(axis)),
+        check_vma=False,
+    )
+    leaves_sharded = jax.tree_util.tree_map(lambda a: a, bvh.leaves)
+    return fn(bvh, leaves_sharded)
+
+
+def sharded_rays(mesh: Mesh, bvh: BVH, points, directions,
+                 capacity_per_device: int, start_level: int = 1,
+                 narrow=None, axis: str = AXIS):
+    """Ray traversal with rays sharded over ``mesh``; (3, N) ray matrices.
+
+    Returns ``(total, contacts)`` like :func:`sharded_self_contact`; ray
+    indices in contacts are *global* 1-based.
+    """
+    n_dev = mesh.shape[axis]
+    nrays = points.shape[1]
+    if nrays % n_dev != 0:
+        raise ValueError(f"num rays {nrays} not divisible by mesh {n_dev}")
+    per_dev = nrays // n_dev
+    pts = jnp.asarray(points, bvh.leaves.volume.dtype)
+    dirs = jnp.asarray(directions, bvh.leaves.volume.dtype)
+    p_l = (pts[0], pts[1], pts[2])   # coordinate tuples of (N,) lanes
+    d_l = (dirs[0], dirs[1], dirs[2])
+
+    def local_fn(bvh_rep, p, d):
+        idt = bvh_rep.skips.dtype
+        k = p[0].shape[0]
+        ray_offset = jax.lax.axis_index(axis).astype(idt) * per_dev
+        iray = ray_offset + jnp.arange(1, k + 1, dtype=idt)
+
+        def node_test(node_vol):
+            return isintersection(node_vol, p, d)
+
+        def leaf_test(leaf):
+            hit = isintersection(leaf.volume, p, d)
+            if narrow is not None:
+                hit = hit & narrow(leaf, p, d)
+            return hit
+
+        def emit(leaf):
+            return jnp.stack([leaf.index, iray], axis=-1)
+
+        counts, _ = stackless_walk(
+            bvh_rep.tree, bvh_rep.nodes, bvh_rep.leaves, bvh_rep.skips,
+            start_level, node_test, leaf_test, emit, num_lanes=k)
+        offsets = jnp.cumsum(counts) - counts
+        _, out = stackless_walk(
+            bvh_rep.tree, bvh_rep.nodes, bvh_rep.leaves, bvh_rep.skips,
+            start_level, node_test, leaf_test, emit, num_lanes=k,
+            capacity=capacity_per_device, offsets=offsets)
+        return jax.lax.psum(counts.sum(), axis), out
+
+    fn = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis)),
+        out_specs=(P(), P(axis)),
+        check_vma=False,
+    )
+    return fn(bvh, p_l, d_l)
+
+
+def sharded_rebuild_traverse_step(mesh: Mesh, node_kind=BBox,
+                                  capacity_per_device: int = 1 << 16,
+                                  axis: str = AXIS):
+    """The full moving-geometry step, multi-chip: rebuild the BVH from
+    updated leaf spheres and run sharded self-contact — the TPU analogue of
+    the reference's cache-reusing per-step rebuild loop (BASELINE config 5).
+
+    Returns a jittable ``step(x, r) -> (total, contacts)``.
+    """
+
+    @jax.jit
+    def step(x, r):
+        bvh = build(BSphere(x, r), node_kind)
+        return sharded_self_contact(mesh, bvh, capacity_per_device, axis=axis)
+
+    return step

@@ -36,7 +36,7 @@ def _ray_closures(bvh: BVH, points, directions, narrow):
             hit = hit & narrow(leaf, points, directions)
         return hit
 
-    k = points.shape[0]
+    k = points[0].shape[0]
     idt = bvh.skips.dtype
     iray = jnp.arange(1, k + 1, dtype=idt)
 
@@ -51,7 +51,7 @@ def rays_count(bvh: BVH, points, directions, start_level: int, narrow=None):
     node_test, leaf_test, emit = _ray_closures(bvh, points, directions, narrow)
     counts, _ = stackless_walk(
         bvh.tree, bvh.nodes, bvh.leaves, bvh.skips, start_level,
-        node_test, leaf_test, emit, num_lanes=points.shape[0])
+        node_test, leaf_test, emit, num_lanes=points[0].shape[0])
     return counts
 
 
@@ -61,19 +61,23 @@ def rays_write(bvh: BVH, points, directions, offsets, start_level: int,
     node_test, leaf_test, emit = _ray_closures(bvh, points, directions, narrow)
     _, out = stackless_walk(
         bvh.tree, bvh.nodes, bvh.leaves, bvh.skips, start_level,
-        node_test, leaf_test, emit, num_lanes=points.shape[0],
+        node_test, leaf_test, emit, num_lanes=points[0].shape[0],
         capacity=capacity, offsets=offsets)
     return out
 
 
 def _prep_rays(points, directions, dtype):
+    """Validate (3, N) ray matrices and split into coordinate tuples of
+    (N,) lane arrays (TPU-friendly layout, see volumes.py)."""
     points = jnp.asarray(points, dtype)
     directions = jnp.asarray(directions, dtype)
     if points.ndim != 2 or points.shape[0] != 3:
         raise ValueError(f"points must be (3, N), got {points.shape}")
     if directions.shape != points.shape:
         raise ValueError("points and directions must have the same shape")
-    return points.T, directions.T  # (K, 3) lanes
+    p = (points[0], points[1], points[2])
+    d = (directions[0], directions[1], directions[2])
+    return p, d
 
 
 def traverse_rays_fixed(bvh: BVH, points, directions, capacity: int, *,
@@ -110,7 +114,7 @@ def traverse_rays(bvh: BVH, points, directions,
 
     p, d = _prep_rays(points, directions, bvh.leaves.volume.dtype)
     idt = bvh.skips.dtype
-    if p.shape[0] == 0 or bvh.tree.real_nodes < 1:
+    if p[0].shape[0] == 0 or bvh.tree.real_nodes < 1:
         return BVHTraversal(num_contacts=jnp.zeros((), idt),
                             cache1=jnp.zeros((0, 2), idt),
                             cache2=jnp.zeros((0,), idt),

@@ -360,11 +360,12 @@ def traverse_bfs_pair(bvh1: BVH, bvh2: BVH, *, start_level1: int,
 @partial(jax.jit, static_argnames=("start_level", "narrow", "capacity"))
 def bfs_rays_fixed(bvh: BVH, points, directions, start_level: int,
                    capacity: int, narrow=None):
-    """Node-ray BVTT with <=2 sprouts per hit; points/directions are (K, 3)."""
+    """Node-ray BVTT with <=2 sprouts per hit; points/directions are
+    coordinate tuples of (K,) lane arrays."""
     tree = bvh.tree
     idt = bvh.skips.dtype
     levels = tree.levels
-    nrays = points.shape[0]
+    nrays = points[0].shape[0]
 
     # initial cross product (node at start_level) x ray
     n_nodes = tree.level_nodes(start_level)
@@ -384,7 +385,7 @@ def bfs_rays_fixed(bvh: BVH, points, directions, start_level: int,
 
     def ray_of(ir):
         j = jnp.clip(ir, 0, nrays - 1)
-        return points[j], directions[j]
+        return (tuple(c[j] for c in points), tuple(c[j] for c in directions))
 
     for level in range(start_level, levels):
         mask = lane < n
@@ -411,8 +412,8 @@ def bfs_rays_fixed(bvh: BVH, points, directions, start_level: int,
 
 def traverse_rays_bfs(bvh: BVH, points, directions, *, start_level: int,
                       narrow=None, options: BVHOptions = DEFAULT_OPTIONS):
-    n_init = bvh.tree.level_nodes(start_level) * points.shape[0]
-    cap0 = _bfs_capacity0(n_init, max(bvh.num_leaves, points.shape[0]),
+    n_init = bvh.tree.level_nodes(start_level) * points[0].shape[0]
+    cap0 = _bfs_capacity0(n_init, max(bvh.num_leaves, points[0].shape[0]),
                           options)
     total, out, num_checks = _run_with_growth(
         lambda c: bfs_rays_fixed(bvh, points, directions, start_level, c,

@@ -7,7 +7,7 @@ reference's strategy (ref /root/reference/test/gputests.jl:1-2).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +15,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The TPU-tunnel sitecustomize imports jax at interpreter startup, so env
+# vars alone are too late; force the CPU backend through the config API.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: the suite compiles hundreds of distinct

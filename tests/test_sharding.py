@@ -1,0 +1,75 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import implicitbvh_tpu as ib
+from implicitbvh_tpu.parallel import (make_mesh, sharded_rays,
+                                      sharded_rebuild_traverse_step,
+                                      sharded_self_contact)
+
+
+def spheres(n, seed, scale=5.0):
+    rng = np.random.default_rng(seed)
+    xs = rng.random((n, 3), dtype=np.float32) * scale
+    rs = (rng.random(n, dtype=np.float32) * 0.4 + 0.05).astype(np.float32)
+    return xs, rs, ib.BSphere(jnp.asarray(xs), jnp.asarray(rs))
+
+
+def brute_force(xs, rs):
+    n = len(rs)
+    d2 = ((xs[:, None, :] - xs[None, :, :]) ** 2).sum(-1)
+    rr = (rs[:, None] + rs[None, :]) ** 2
+    return {(i + 1, j + 1) for i in range(n) for j in range(i + 1, n)
+            if d2[i, j] <= rr[i, j]}
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must force 8 cpu devices"
+    return make_mesh(jax.devices()[:8])
+
+
+def test_sharded_self_contact_matches_single(mesh):
+    xs, rs, sp = spheres(128, 42)
+    bf = brute_force(xs, rs)
+    bvh = ib.build(sp, ib.BBox)
+    total, out = sharded_self_contact(mesh, bvh, capacity_per_device=256)
+    assert int(total) == len(bf)
+    got = {tuple(map(int, r)) for r in np.asarray(out) if tuple(r) != (0, 0)}
+    assert got == bf
+
+
+def test_sharded_rays_matches_single(mesh):
+    rng = np.random.default_rng(1)
+    xs, rs, sp = spheres(64, 2)
+    p = (rng.random((3, 16)).astype(np.float32) * 8 - 1.5)
+    d = (rng.random((3, 16)).astype(np.float32) - 0.5)
+    bvh = ib.build(sp, ib.BBox)
+    ref = set(ib.traverse_rays(bvh, p, d).contacts_list())
+    total, out = sharded_rays(mesh, bvh, p, d, capacity_per_device=128)
+    assert int(total) == len(ref)
+    got = {tuple(map(int, r)) for r in np.asarray(out) if tuple(r) != (0, 0)}
+    assert got == ref
+
+
+def test_sharded_full_step(mesh):
+    xs, rs, sp = spheres(128, 3)
+    bf = brute_force(xs, rs)
+    step = sharded_rebuild_traverse_step(mesh, capacity_per_device=256)
+    total, out = step(sp.x, sp.r)
+    assert int(total) == len(bf)
+    # move geometry and step again (recompile-free fixed shapes)
+    xs2 = xs + 0.1
+    total2, _ = step(jnp.asarray(xs2), sp.r)
+    bf2 = brute_force(xs2, rs)
+    assert int(total2) == len(bf2)
+
+
+def test_sharded_divisibility_error(mesh):
+    xs, rs, sp = spheres(100, 4)  # 100 % 8 != 0
+    bvh = ib.build(sp, ib.BBox)
+    with pytest.raises(ValueError):
+        sharded_self_contact(mesh, bvh, capacity_per_device=64)
