@@ -17,8 +17,10 @@ from .volumes import (BBox, BSphere, bbox_from_triangles,
 from .build import (BVH, BoundingVolume, Leaves, build, compute_build_level,
                     wrap_bounding_volumes)
 from .traverse import (BFSTraversal, BVHTraversal, LVTTraversal,
-                       TraversalAlgorithm, default_start_level, traverse,
-                       traverse_lvt_pair_fixed, traverse_lvt_single_fixed)
+                       TileTraversal, TraversalAlgorithm,
+                       default_start_level, traverse,
+                       traverse_lvt_pair_fixed, traverse_lvt_single_fixed,
+                       traverse_tiles, traverse_tiles_fixed)
 from .raytrace import traverse_rays, traverse_rays_fixed
 
 __version__ = "0.1.0"

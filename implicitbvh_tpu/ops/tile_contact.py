@@ -1,0 +1,251 @@
+"""Pallas tile-contact kernel: dense leaf tests over overlapping leaf tiles.
+
+This is the TPU-native hot path for broad-phase self-contact, replacing
+per-lane tree walks (whose random gathers scalarize on TPU, see
+traverse/walk.py) with dense vector work:
+
+- Morton-sorted leaves are grouped into tiles of G (tile AABBs computed by
+  reshape-reduce in XLA);
+- phase 1 (XLA) extracts overlapping tile pairs (ti <= tj);
+- phase 2 (this kernel) runs one tile pair per sequential grid step:
+  scalar-prefetched pair indices drive the BlockSpec index_map (so tile
+  leaf data is DMA'd HBM->VMEM by the standard Pallas pipeline), the GxG
+  contact mask is computed branch-free on the VPU, and the sparse contacts
+  are compacted **in VMEM** with two one-hot contractions (row-level then
+  pair-level) — the TPU idiom for stream compaction, since XLA scatter
+  runs at <1e9 elem/s on this hardware.
+
+The kernel emits per-pair padded (CAP_PAIR,) contact slots holding global
+*sorted-order leaf positions* (f32-exact: < 2^24), plus per-pair counts and
+an overflow flag; the driver (traverse/tiles.py) maps positions to user
+indices and compacts the padded slots.
+
+Dense-candidate semantics are identical to the reference's LVT traversal
+contact set (j > i in sorted order, ref traverse_single.jl (lvt):163-167) —
+the tile pass simply tests a superset of the tree-pruned candidates.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _lane_cumsum(x):
+    """Inclusive prefix sum along the minor (lane) axis via log-step shifted
+    adds — Mosaic-safe replacement for jnp.cumsum."""
+    n = x.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    sh = 1
+    while sh < n:
+        rolled = pltpu.roll(x, sh, axis=x.ndim - 1)
+        x = x + jnp.where(lane >= sh, rolled, 0.0)
+        sh *= 2
+    return x
+
+
+def _pair_kernel(sphere_leaves: bool, G: int, ROW_CAP: int, CAP_PAIR: int,
+                 n_real: int,
+                 pk_ref, npairs_ref,   # scalar prefetch (packed ti<<16|tj)
+                 *refs):
+    """One tile pair per grid step.
+
+    refs layout: [a_field0..a_fieldF, b_field0..b_fieldF,
+                  out_gi, out_gj, out_count, out_overflow]
+    with F = 4 for sphere leaves (x0, x1, x2, r) and 6 for box leaves
+    (lo0, lo1, lo2, up0, up1, up2); a/b blocks are (1, G) rows of the
+    (T, G) tiled arrays selected by the prefetched pair indices.
+    """
+    F = 4 if sphere_leaves else 6
+    a = [refs[k][0, 0, :] for k in range(F)]
+    b = [refs[F + k][0, 0, :] for k in range(F)]
+    out_gi, out_gj, out_meta = refs[2 * F:]
+
+    p = pl.program_id(0)
+    ti = pk_ref[p] >> 16
+    tj = pk_ref[p] & 0xFFFF
+    pair_valid = p < npairs_ref[0]
+
+    # Padded grid steps (p >= npairs) skip all compute; their count lane is
+    # zeroed so the driver-side extraction ignores their garbage slots.
+    @pl.when(jnp.logical_not(pair_valid))
+    def _():
+        out_meta[0, 0, :] = jnp.zeros((128,), jnp.float32)
+
+    @pl.when(pair_valid)
+    def _():
+        _pair_body(sphere_leaves, G, ROW_CAP, CAP_PAIR, n_real,
+                   ti, tj, a, b, out_gi, out_gj, out_meta)
+
+
+def _pair_body(sphere_leaves, G, ROW_CAP, CAP_PAIR, n_real,
+               ti, tj, a, b, out_gi, out_gj, out_meta):
+    lane = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
+
+    gi = ti * G + sub          # global sorted positions (0-based), (G, G)
+    gj = tj * G + lane
+
+    # --- contact mask -----------------------------------------------------
+    if sphere_leaves:
+        dx = a[0][:, None] - b[0][None, :]
+        dy = a[1][:, None] - b[1][None, :]
+        dz = a[2][:, None] - b[2][None, :]
+        rr = a[3][:, None] + b[3][None, :]
+        mask = dx * dx + dy * dy + dz * dz <= rr * rr
+    else:
+        mask = (a[3][:, None] >= b[0][None, :]) & (a[0][:, None] <= b[3][None, :])
+        mask &= (a[4][:, None] >= b[1][None, :]) & (a[1][:, None] <= b[4][None, :])
+        mask &= (a[5][:, None] >= b[2][None, :]) & (a[2][:, None] <= b[5][None, :])
+
+    # validity: real leaves only, dedup j > i in global sorted order
+    mask &= (gi < n_real) & (gj < n_real)
+    mask &= gj > gi
+
+    mi = mask.astype(jnp.float32)
+    total = jnp.sum(mi)
+    meta_lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+    # Most overlapping tile pairs produce zero contacts — skip the whole
+    # compaction for them (mask+count is ~1/5 of the per-pair cost).
+    @pl.when(total == 0.0)
+    def _():
+        out_meta[0, 0, :] = jnp.zeros((128,), jnp.float32)
+
+    @pl.when(total > 0.0)
+    def _():
+        _pair_compact(G, ROW_CAP, CAP_PAIR, ti, tj, mi, gj, total,
+                      meta_lane, out_gi, out_gj, out_meta)
+
+
+def _pair_compact(G, ROW_CAP, CAP_PAIR, ti, tj, mi, gj, total, meta_lane,
+                  out_gi, out_gj, out_meta):
+    lane = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
+    # --- in-VMEM two-level compaction --------------------------------------
+    # Mosaic-layout rules drive every shape below: 3D tensors keep minor
+    # dim = G (128), transposes are square-only, and prefix sums run on the
+    # MXU as triangular matmuls instead of log-step roll chains.
+    f32 = jnp.float32
+    ltri_strict = jnp.where(sub > lane, 1.0, 0.0)       # (G, G) lower strict
+    # in-row exclusive prefix: row_pos = mi @ strict_lower^T  (MXU)
+    row_pos = jax.lax.dot_general(
+        mi, ltri_strict, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32)                     # (G, G)
+
+    # lane-indexed row counts: sum over j as a (1,G)@(G,G) contraction so
+    # the result is lane-indexed by i (no transpose needed)
+    ones_row = jnp.ones((1, G), f32)
+    row_cnt_lane = jax.lax.dot_general(                  # (1, G_i)
+        ones_row, mi, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32)
+    # exclusive prefix over rows: row_off[i] = sum_{i'<i} cnt[i']
+    row_off_lane = jax.lax.dot_general(                  # (1, G_i)
+        row_cnt_lane, ltri_strict,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32)
+
+    # row level: slot s of row i takes the j whose in-row prefix equals s.
+    # onehot_row[s, i, j] — minor dim G, dim-0 iota (both Mosaic-safe).
+    s_row = jax.lax.broadcasted_iota(jnp.int32, (ROW_CAP, G, G), 0
+                                     ).astype(f32)
+    onehot_row = jnp.where(
+        (row_pos[None, :, :] == s_row) & (mi[None, :, :] > 0), 1.0, 0.0)
+    gj_f = gj.astype(f32)                               # (G, G) global j
+    jv = jnp.sum(onehot_row * gj_f[None, :, :], axis=2)  # (ROW_CAP, G_i)
+
+    # pair level: slot k of the pair takes row slot (s, i) with
+    # row_off[i] + s == k.  acc[k, i] accumulated over an s python-loop of
+    # 2D (CAP_PAIR, G) one-hots, then column-summed via square transpose.
+    k_col = jax.lax.broadcasted_iota(jnp.int32, (CAP_PAIR, G), 0
+                                     ).astype(f32)
+    gi_lane = (ti * G + jax.lax.broadcasted_iota(jnp.int32, (1, G), 1)
+               ).astype(f32)                            # (1, G)
+    acc_gi = jnp.zeros((CAP_PAIR, G), f32)
+    acc_gj = jnp.zeros((CAP_PAIR, G), f32)
+    for s in range(ROW_CAP):
+        pos_s = row_off_lane + float(s)                 # (1, G)
+        valid_s = row_cnt_lane > float(s)               # (1, G)
+        oh_s = jnp.where((pos_s == k_col) & valid_s, 1.0, 0.0)
+        acc_gi = acc_gi + oh_s * gi_lane
+        acc_gj = acc_gj + oh_s * jv[s:s + 1, :]
+    # sum over i (lanes) with result lane-indexed by k: ones @ acc^T as a
+    # dim-1/dim-1 contraction (works for any CAP_PAIR, no transpose)
+    out_gi[0, 0, :] = jax.lax.dot_general(
+        ones_row, acc_gi, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32)[0, :]
+    out_gj[0, 0, :] = jax.lax.dot_general(
+        ones_row, acc_gj, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32)[0, :]
+
+    over = (total > CAP_PAIR) | jnp.any(row_cnt_lane > ROW_CAP)
+    out_meta[0, 0, :] = jnp.where(
+        meta_lane[0] == 0, total,
+        jnp.where(meta_lane[0] == 1, over.astype(f32), 0.0))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sphere_leaves", "G", "ROW_CAP", "CAP_PAIR", "n_real",
+                     "interpret"))
+def tile_pair_contacts(packed, npairs, a_fields, *, sphere_leaves: bool,
+                       G: int, ROW_CAP: int = 4, CAP_PAIR: int = 16,
+                       n_real: int, interpret: bool = False):
+    """Run the tile-contact kernel.
+
+    - ``packed``: (P_cap,) int32 tile pair indices packed as ti << 16 | tj
+      (ti <= tj), padded; the caller chunks so P_cap stays within SMEM.
+    - ``npairs``: (1,) int32 number of valid pairs.
+    - ``a_fields``: tuple of (T, G) f32 tiled leaf fields (4 for spheres,
+      6 for boxes).
+
+    Returns (gi, gj, counts, overflow): per-pair padded contact slots of
+    global sorted positions as f32 (P_cap, CAP_PAIR), per-pair counts
+    (P_cap,), and a scalar overflow flag.
+    """
+    P_cap = packed.shape[0]
+    F = len(a_fields)
+    assert F == (4 if sphere_leaves else 6)
+
+    def row_spec(which):
+        # index_map receives (grid idx, *scalar prefetch refs); tiled
+        # fields are (T, 1, G) so the (1, 1, G) block satisfies the TPU
+        # (sublane, lane) block divisibility rule.  Pair indices arrive
+        # packed (ti << 16 | tj) to halve SMEM footprint.
+        if which == 0:
+            return pl.BlockSpec((1, 1, G),
+                                lambda p, pk_r, np_r: (pk_r[p] >> 16, 0, 0))
+        return pl.BlockSpec((1, 1, G),
+                            lambda p, pk_r, np_r: (pk_r[p] & 0xFFFF, 0, 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(P_cap,),
+        in_specs=[row_spec(0)] * F + [row_spec(1)] * F,
+        out_specs=[
+            pl.BlockSpec((1, 1, CAP_PAIR), lambda p, *_: (p, 0, 0)),
+            pl.BlockSpec((1, 1, CAP_PAIR), lambda p, *_: (p, 0, 0)),
+            pl.BlockSpec((1, 1, 128), lambda p, *_: (p, 0, 0)),
+        ],
+    )
+
+    kernel = functools.partial(_pair_kernel, sphere_leaves, G, ROW_CAP,
+                               CAP_PAIR, n_real)
+    gi, gj, meta = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((P_cap, 1, CAP_PAIR), jnp.float32),
+            jax.ShapeDtypeStruct((P_cap, 1, CAP_PAIR), jnp.float32),
+            jax.ShapeDtypeStruct((P_cap, 1, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(packed, npairs, *[f[:, None, :] for f in a_fields],
+      *[f[:, None, :] for f in a_fields])
+    counts = meta[:, 0, 0].astype(jnp.int32)
+    over = meta[:, 0, 1].sum() > 0
+    return gi[:, 0, :], gj[:, 0, :], counts, over

@@ -89,6 +89,10 @@ def traverse(bvh: BVH,
                                         narrow=narrow, cache=cache,
                                         options=options)
 
+    from .tiles import TileTraversal, traverse_tiles
+    if isinstance(alg, TileTraversal):
+        return traverse_tiles(bvh, alg=alg, narrow=narrow, options=options)
+
     counts = _lvt.lvt_count_single(bvh, start_level, narrow)
     offsets = jnp.cumsum(counts) - counts
     total = int(counts.sum())           # the single host sync

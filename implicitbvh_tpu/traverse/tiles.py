@@ -1,0 +1,296 @@
+"""Tile traversal — the TPU-native broad-phase fast path.
+
+A flat 2-level traversal scheme designed for the TPU execution model (dense
+vector ops, no random gathers, no atomics):
+
+1. Morton-sorted leaves are grouped into tiles of ``G`` (default 128 — one
+   VPU lane row); tile AABBs come from a reshape-reduce.
+2. Dense tile-vs-tile AABB overlap (upper triangle) + compaction yields the
+   overlapping tile pair list.
+3. The Pallas kernel (ops/tile_contact.py) runs dense G x G leaf tests per
+   pair with in-VMEM compaction.
+4. Padded per-pair slots are compacted into the final contact list; user
+   indices are applied and pairs emitted as sorted (min, max) — identical
+   contact sets to LVT/BFS traversal.
+
+This replaces the reference's tree traversal *for self-contact on TPU*: the
+implicit tree prunes more candidates, but its irregular walk is
+gather-bound, while the tile scheme trades ~10-20x more (vectorized,
+MXU/VPU-shaped) candidate tests for perfectly dense execution — the same
+trade the reference documents between BFS and LVT
+(ref src/traverse/traverse.jl:19-34), taken one step further.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..build import BVH, Leaves
+from ..options import DEFAULT_OPTIONS, BVHOptions
+from ..volumes import BBox, BSphere
+from .types import BVHTraversal, TraversalAlgorithm
+
+
+@dataclasses.dataclass(frozen=True)
+class TileTraversal(TraversalAlgorithm):
+    """Dense-tile traversal parameters.
+
+    - ``tile``: leaves per tile (G); 128 matches the VPU lane width.
+    - ``row_cap``: max contacts of one leaf within one other tile.
+    - ``pair_cap``: max contacts within one tile pair.
+    Overflows are detected and the host wrapper re-runs with doubled caps.
+    """
+
+    tile: int = 128
+    row_cap: int = 4
+    pair_cap: int = 16
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _overlap(alo, aup, blo, bup, bc=lambda x: x[:, None], br=lambda x: x[None, :]):
+    ov = (bc(aup[0]) >= br(blo[0])) & (bc(alo[0]) <= br(bup[0]))
+    ov &= (bc(aup[1]) >= br(blo[1])) & (bc(alo[1]) <= br(bup[1]))
+    ov &= (bc(aup[2]) >= br(blo[2])) & (bc(alo[2]) <= br(bup[2]))
+    return ov
+
+
+def _compact_flat(flat, values, cap):
+    """cumsum+scatter compaction of ``values`` where ``flat``; (out, count)."""
+    v = flat.astype(jnp.int32)
+    pos = jnp.cumsum(v) - v
+    posx = jnp.where(flat, pos, cap)
+    out = jnp.zeros((cap,), values.dtype).at[posx].set(values, mode="drop")
+    return out, v.sum()
+
+
+@partial(jax.jit, static_argnames=("G", "P_cap"))
+def _phase1_tile_pairs(tile_lo, tile_up, G: int, P_cap: int):
+    """Hierarchical tile-pair extraction -> packed (ti << 16 | tj) pairs.
+
+    A flat T x T overlap matrix would make the compaction scatter the
+    dominant cost at large N (XLA:TPU scatter ~0.6e9 elem/s), so tiles are
+    grouped into supertiles of SS=32: a dense S x S pass extracts
+    overlapping supertile pairs, then only those pairs expand to 32 x 32
+    tile tests — shrinking the scattered element count by ~50x.
+    """
+    T = tile_lo[0].shape[0]
+    SS = 32
+    S = -(-T // SS)
+    pad = S * SS - T
+
+    def padt(a, fill):
+        if pad:
+            a = jnp.concatenate([a, jnp.full((pad,), fill, a.dtype)])
+        return a
+
+    tl = tuple(padt(c, jnp.inf) for c in tile_lo)
+    tu = tuple(padt(c, -jnp.inf) for c in tile_up)
+    sup_lo = tuple(c.reshape(S, SS).min(1) for c in tl)
+    sup_up = tuple(c.reshape(S, SS).max(1) for c in tu)
+
+    # level A: supertile pairs (dense S x S, upper triangle)
+    ovA = _overlap(sup_lo, sup_up, sup_lo, sup_up)
+    ovA &= jax.lax.broadcasted_iota(jnp.int32, (S, S), 0) <= \
+        jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+    # scale with P_cap so the wrapper's growth loop also grows this level
+    SP_cap = max(S * 48, 1024, P_cap // 16)
+    kA = jnp.arange(S * S, dtype=jnp.int32)
+    spacked, nsp = _compact_flat(ovA.reshape(-1), (kA // S) * S * SS + (kA % S) * SS,
+                                 SP_cap)
+    sp_overflow = nsp > SP_cap
+    # spacked entries encode (si * SS) * S... decode tile base indices:
+    si_base = spacked // (S * SS) * SS          # first tile of supertile i
+    sj_base = spacked % (S * SS)                # first tile of supertile j
+
+    # level B: 32 x 32 tile tests per supertile pair
+    k_in = jnp.arange(SS, dtype=jnp.int32)
+    ti_g = si_base[:, None] + k_in[None, :]      # (SP_cap, SS)
+    tj_g = sj_base[:, None] + k_in[None, :]
+    a_lo = tuple(c[ti_g] for c in tl)            # (SP_cap, SS) row gathers
+    a_up = tuple(c[ti_g] for c in tu)
+    b_lo = tuple(c[tj_g] for c in tl)
+    b_up = tuple(c[tj_g] for c in tu)
+    ovB = _overlap(a_lo, a_up, b_lo, b_up,
+                   bc=lambda x: x[:, :, None], br=lambda x: x[:, None, :])
+    tii = ti_g[:, :, None]
+    tjj = tj_g[:, None, :]
+    ovB &= tii <= tjj
+    ovB &= (tii < T) & (tjj < T)
+    sp_lane = jnp.arange(SP_cap, dtype=jnp.int32)
+    ovB &= (sp_lane < nsp)[:, None, None]
+
+    packed_val = ((tii << 16) | tjj)
+    packed, npairs = _compact_flat(
+        ovB.reshape(-1), jnp.broadcast_to(packed_val,
+                                          (SP_cap, SS, SS)).reshape(-1),
+        P_cap)
+    npairs = jnp.where(sp_overflow, P_cap + 1, npairs)  # force overflow signal
+    return packed, npairs
+
+
+def _tiled_fields(bvh: BVH, G: int):
+    """Tile the sorted leaf fields to (T, G) plus padded tile AABBs."""
+    vol = bvh.leaves.volume
+    n = bvh.num_leaves
+    T = -(-n // G)
+    pad = T * G - n
+
+    def padded(a, fill):
+        if pad:
+            a = jnp.concatenate([a, jnp.full((pad,), fill, a.dtype)])
+        return a.reshape(T, G)
+
+    if isinstance(vol, BSphere):
+        fields = tuple(padded(c, 0.0) for c in vol.xs) + (padded(vol.r, 0.0),)
+        blos = tuple(padded(vol.xs[k] - vol.r, jnp.inf) for k in range(3))
+        bups = tuple(padded(vol.xs[k] + vol.r, -jnp.inf) for k in range(3))
+        sphere = True
+    else:
+        fields = tuple(padded(c, 0.0) for c in vol.los) + \
+            tuple(padded(c, 0.0) for c in vol.ups)
+        blos = tuple(padded(c, jnp.inf) for c in vol.los)
+        bups = tuple(padded(c, -jnp.inf) for c in vol.ups)
+        sphere = False
+
+    tile_lo = tuple(b.min(axis=1) for b in blos)
+    tile_up = tuple(b.max(axis=1) for b in bups)
+    return fields, sphere, tile_lo, tile_up, T
+
+
+def _extract_contacts(gi_slots, gj_slots, counts, leaf_index, narrow_mask_fn,
+                      capacity: int):
+    """Compact padded per-pair slots into the final (capacity, 2) contact
+    list of user-index pairs, sorted (min, max)."""
+    P_cap, CAP_PAIR = gi_slots.shape
+    slot = jax.lax.broadcasted_iota(jnp.int32, (P_cap, CAP_PAIR), 1)
+    valid = slot < counts[:, None]
+    gi = gi_slots.astype(jnp.int32).reshape(-1)
+    gj = gj_slots.astype(jnp.int32).reshape(-1)
+    flat = valid.reshape(-1)
+    v = flat.astype(jnp.int32)
+    pos = jnp.cumsum(v) - v
+    posx = jnp.where(flat, pos, capacity)
+    out_gi = jnp.zeros((capacity,), jnp.int32).at[posx].set(gi, mode="drop")
+    out_gj = jnp.zeros((capacity,), jnp.int32).at[posx].set(gj, mode="drop")
+    total = v.sum()
+    # map global sorted positions -> user indices (small gather)
+    n = leaf_index.shape[0]
+    ui = leaf_index[jnp.clip(out_gi, 0, n - 1)]
+    uj = leaf_index[jnp.clip(out_gj, 0, n - 1)]
+    lane = jnp.arange(capacity, dtype=jnp.int32)
+    in_range = lane < total
+    if narrow_mask_fn is not None:
+        keep = narrow_mask_fn(out_gi, out_gj) & in_range
+        k = keep.astype(jnp.int32)
+        pos2 = jnp.cumsum(k) - k
+        posx2 = jnp.where(keep, pos2, capacity)
+        ui = jnp.zeros((capacity,), ui.dtype).at[posx2].set(ui, mode="drop")
+        uj = jnp.zeros((capacity,), uj.dtype).at[posx2].set(uj, mode="drop")
+        total = k.sum()
+        in_range = lane < total
+    a = jnp.where(in_range, jnp.minimum(ui, uj), 0)
+    b = jnp.where(in_range, jnp.maximum(ui, uj), 0)
+    return total, jnp.stack([a, b], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("capacity", "alg", "pair_capacity",
+                                   "narrow", "interpret"))
+def traverse_tiles_fixed(bvh: BVH, capacity: int, *,
+                         alg: "TileTraversal" = None,
+                         pair_capacity: Optional[int] = None,
+                         narrow=None,
+                         interpret: Optional[bool] = None):
+    """Fully-traced fixed-capacity tile self-contact traversal.
+
+    Returns ``(total, contacts, overflow)``; ``overflow`` signals that a
+    static capacity (pair list, per-pair slots, or contact buffer) was
+    exceeded and results are incomplete — the :func:`traverse_tiles`
+    wrapper grows and re-runs.
+    """
+    from ..ops.tile_contact import tile_pair_contacts
+
+    alg = alg or TileTraversal()
+    G = alg.tile
+    n = bvh.num_leaves
+    if interpret is None:
+        interpret = _use_interpret()
+
+    fields, sphere, tile_lo, tile_up, T = _tiled_fields(bvh, G)
+    if T >= 1 << 16:
+        raise ValueError("tile count exceeds 65536; raise the tile size")
+    if pair_capacity is None:
+        pair_capacity = max(((T * 36 + 8191) // 8192) * 8192, 8192)
+    packed, npairs = _phase1_tile_pairs(tile_lo, tile_up, G, pair_capacity)
+    pair_overflow = npairs > pair_capacity
+
+    # chunk the pair list so the prefetched indices fit in SMEM (1 MB)
+    CHUNK = 1 << 17
+    gi_parts, gj_parts, cnt_parts = [], [], []
+    slot_overflow = jnp.zeros((), jnp.bool_)
+    for start in range(0, pair_capacity, CHUNK):
+        sub = packed[start:start + CHUNK]
+        np_c = jnp.clip(npairs - start, 0, sub.shape[0])
+        gi_c, gj_c, cnt_c, ov_c = tile_pair_contacts(
+            sub, np_c.reshape(1).astype(jnp.int32), fields,
+            sphere_leaves=sphere, G=G, ROW_CAP=alg.row_cap,
+            CAP_PAIR=alg.pair_cap, n_real=n, interpret=interpret)
+        gi_parts.append(gi_c)
+        gj_parts.append(gj_c)
+        cnt_parts.append(cnt_c)
+        slot_overflow = slot_overflow | ov_c
+    gi_s = jnp.concatenate(gi_parts, axis=0)
+    gj_s = jnp.concatenate(gj_parts, axis=0)
+    counts = jnp.concatenate(cnt_parts, axis=0)
+
+    narrow_fn = None
+    if narrow is not None:
+        leaves = bvh.leaves
+
+        def narrow_fn(gi, gj):
+            la = jax.tree_util.tree_map(lambda x: x[gi], leaves)
+            lb = jax.tree_util.tree_map(lambda x: x[gj], leaves)
+            return narrow(la, lb)
+
+    total, contacts = _extract_contacts(
+        gi_s, gj_s, counts, bvh.leaves.index, narrow_fn, capacity)
+    overflow = pair_overflow | slot_overflow | (total > capacity)
+    return total, contacts, overflow
+
+
+def traverse_tiles(bvh: BVH, *, alg: "TileTraversal" = None, narrow=None,
+                   options: BVHOptions = DEFAULT_OPTIONS) -> BVHTraversal:
+    """Host wrapper with overflow-driven capacity growth."""
+    alg = alg or TileTraversal()
+    idt = bvh.skips.dtype
+    if bvh.tree.real_nodes <= 1:
+        return BVHTraversal(num_contacts=jnp.zeros((), idt),
+                            cache1=jnp.zeros((0, 2), idt),
+                            cache2=jnp.zeros((0,), idt), start_level1=1)
+    capacity = max(options.min_capacity, 4 * bvh.num_leaves)
+    capacity = 1 << math.ceil(math.log2(capacity))
+    T = -(-bvh.num_leaves // alg.tile)
+    pair_capacity = max(((T * 36 + 8191) // 8192) * 8192, 8192)
+    for _ in range(8):
+        total, contacts, overflow = traverse_tiles_fixed(
+            bvh, capacity, alg=alg, pair_capacity=pair_capacity,
+            narrow=narrow)
+        if not bool(overflow):
+            return BVHTraversal(num_contacts=int(total), cache1=contacts,
+                                cache2=jnp.zeros((0,), idt), start_level1=1)
+        capacity *= 2
+        pair_capacity *= 2
+        # caps grow 4x: dense clusters can need up to tile^2 pair slots
+        alg = TileTraversal(tile=alg.tile, row_cap=min(4 * alg.row_cap,
+                                                       alg.tile),
+                            pair_cap=min(4 * alg.pair_cap,
+                                         alg.tile * alg.tile))
+    raise RuntimeError("tile traversal capacities kept overflowing")

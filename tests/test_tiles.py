@@ -1,0 +1,96 @@
+"""Tile traversal tests (Pallas kernel in interpret mode on CPU).
+
+Differential vs brute force and vs LVT; growth-loop coverage.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import implicitbvh_tpu as ib
+from implicitbvh_tpu.traverse import TileTraversal, traverse, traverse_tiles
+
+
+def spheres(n, seed, scale=None):
+    rng = np.random.default_rng(seed)
+    if scale is None:
+        scale = 5.0
+    xs = (rng.random((n, 3)) * scale).astype(np.float32)
+    rs = (rng.random(n) * 0.4 + 0.05).astype(np.float32)
+    return xs, rs, ib.BSphere(jnp.asarray(xs), jnp.asarray(rs))
+
+
+def brute_force(xs, rs):
+    n = len(rs)
+    d2 = ((xs[:, None, :] - xs[None, :, :]) ** 2).sum(-1)
+    rr = (rs[:, None] + rs[None, :]) ** 2
+    return {(i + 1, j + 1) for i in range(n) for j in range(i + 1, n)
+            if d2[i, j] <= rr[i, j]}
+
+
+def test_tiles_differential_sphere_leaves():
+    xs, rs, sp = spheres(300, 42)
+    bf = brute_force(xs, rs)
+    bvh = ib.build(sp, ib.BBox)
+    t = traverse_tiles(bvh, alg=TileTraversal(tile=32))
+    assert set(t.contacts_list()) == bf
+
+
+def test_tiles_via_traverse_dispatch():
+    xs, rs, sp = spheres(200, 1)
+    bf = brute_force(xs, rs)
+    bvh = ib.build(sp, ib.BBox)
+    t = traverse(bvh, TileTraversal(tile=32))
+    assert set(t.contacts_list()) == bf
+
+
+def test_tiles_box_leaves():
+    xs, rs, _ = spheres(150, 3)
+    lo, up = xs - rs[:, None], xs + rs[:, None]
+    n = len(rs)
+    bf = {(i + 1, j + 1) for i in range(n) for j in range(i + 1, n)
+          if ((up[i] >= lo[j]) & (lo[i] <= up[j])).all()}
+    boxes = ib.BBox(jnp.asarray(lo), jnp.asarray(up))
+    bvh = ib.build(boxes, ib.BBox)
+    t = traverse_tiles(bvh, alg=TileTraversal(tile=32))
+    assert set(t.contacts_list()) == bf
+
+
+def test_tiles_matches_lvt():
+    xs, rs, sp = spheres(257, 7)
+    bvh = ib.build(sp, ib.BBox)
+    t_tile = traverse_tiles(bvh, alg=TileTraversal(tile=32))
+    t_lvt = traverse(bvh)
+    assert sorted(t_tile.contacts_list()) == sorted(t_lvt.contacts_list())
+
+
+def test_tiles_narrow_predicate():
+    xs, rs, sp = spheres(120, 9)
+    bf = brute_force(xs, rs)
+    bf_n = {(i, j) for (i, j) in bf if (i + j) % 3 != 0}
+
+    def narrow(l1, l2):
+        return (l1.index + l2.index) % 3 != 0
+
+    bvh = ib.build(sp, ib.BBox)
+    t = traverse_tiles(bvh, alg=TileTraversal(tile=32), narrow=narrow)
+    assert set(t.contacts_list()) == bf_n
+
+
+def test_tiles_overflow_growth():
+    # dense cluster: many contacts per tile pair forces row/pair cap growth
+    xs, rs, sp = spheres(96, 5, scale=0.8)
+    bf = brute_force(xs, rs)
+    bvh = ib.build(sp, ib.BBox)
+    t = traverse_tiles(bvh, alg=TileTraversal(tile=32, row_cap=2, pair_cap=4))
+    assert set(t.contacts_list()) == bf
+
+
+def test_tiles_single_and_tiny():
+    one = ib.build(ib.BSphere(jnp.zeros((1, 3)), jnp.ones((1,))), ib.BBox)
+    assert traverse_tiles(one).contacts_list() == []
+    xs = np.array([[0, 0, 0], [0, 0, 1.0]], np.float32)
+    rs = np.array([0.6, 0.6], np.float32)
+    two = ib.build(ib.BSphere(jnp.asarray(xs), jnp.asarray(rs)), ib.BBox)
+    t = traverse_tiles(two, alg=TileTraversal(tile=32))
+    assert t.contacts_list() == [(1, 2)]
