@@ -52,7 +52,7 @@ def main():
     G = 128
     T = -(-n_tri // G)
     pair_capacity = max(((T * 36 + 8191) // 8192) * 8192, 8192)
-    capacity = 1 << math.ceil(math.log2(4 * n_tri))
+    capacity = 1 << math.ceil(math.log2(n_tri))
     alg = TileTraversal(row_cap=4, pair_cap=32)
 
     def step(q1, q2, q3):

@@ -111,27 +111,29 @@ def _phase1_tile_pairs(tile_lo, tile_up, G: int, P_cap: int):
     si_base = spacked // (S * SS) * SS          # first tile of supertile i
     sj_base = spacked % (S * SS)                # first tile of supertile j
 
-    # level B: 32 x 32 tile tests per supertile pair
+    # level B: SS x SS tile tests per supertile pair.  Arrays are laid out
+    # (SS_i, SS_j, SP_cap) so the large SP_cap axis is the minor (lane)
+    # dimension — an (SP_cap, SS, SS) layout would pad lanes 32 -> 128.
     k_in = jnp.arange(SS, dtype=jnp.int32)
-    ti_g = si_base[:, None] + k_in[None, :]      # (SP_cap, SS)
-    tj_g = sj_base[:, None] + k_in[None, :]
-    a_lo = tuple(c[ti_g] for c in tl)            # (SP_cap, SS) row gathers
+    ti_g = k_in[:, None] + si_base[None, :]      # (SS, SP_cap)
+    tj_g = k_in[:, None] + sj_base[None, :]
+    a_lo = tuple(c[ti_g] for c in tl)            # (SS, SP_cap) gathers
     a_up = tuple(c[ti_g] for c in tu)
     b_lo = tuple(c[tj_g] for c in tl)
     b_up = tuple(c[tj_g] for c in tu)
     ovB = _overlap(a_lo, a_up, b_lo, b_up,
-                   bc=lambda x: x[:, :, None], br=lambda x: x[:, None, :])
-    tii = ti_g[:, :, None]
-    tjj = tj_g[:, None, :]
+                   bc=lambda x: x[:, None, :], br=lambda x: x[None, :, :])
+    tii = ti_g[:, None, :]                       # (SS, 1, SP_cap)
+    tjj = tj_g[None, :, :]                       # (1, SS, SP_cap)
     ovB &= tii <= tjj
     ovB &= (tii < T) & (tjj < T)
     sp_lane = jnp.arange(SP_cap, dtype=jnp.int32)
-    ovB &= (sp_lane < nsp)[:, None, None]
+    ovB &= (sp_lane < nsp)[None, None, :]
 
     packed_val = ((tii << 16) | tjj)
     packed, npairs = _compact_flat(
         ovB.reshape(-1), jnp.broadcast_to(packed_val,
-                                          (SP_cap, SS, SS)).reshape(-1),
+                                          (SS, SS, SP_cap)).reshape(-1),
         P_cap)
     npairs = jnp.where(sp_overflow, P_cap + 1, npairs)  # force overflow signal
     return packed, npairs
