@@ -1,0 +1,164 @@
+"""Generic Pallas stream compaction for TPU.
+
+XLA scatter/cumsum compaction runs at well under 1e9 elem/s on this
+hardware, which makes it the dominant cost of every "extract the sparse
+survivors of a dense mask" step (tile-pair extraction, contact-slot
+extraction, BFS frontiers).  This kernel exploits sparsity: the flat mask
+is viewed as (TILES, 128, 128) = 16384-element mega-tiles; each grid step
+compacts one mega-tile's survivors into ``cap`` padded slots using the
+same in-VMEM machinery as the tile-contact kernel (row-level one-hot with
+prefix sums as triangular MXU matmuls, then a slot-loop of 2D one-hots and
+``ones @ X`` lane contractions — all shapes proven against Mosaic's layout
+constraints).  The caller finishes with one small cumsum+scatter over
+``TILES * cap`` elements — typically 30-100x fewer than the input.
+
+Per-128-row survivor counts above ``row_cap`` or per-mega-tile counts above
+``cap`` set the overflow flag; callers re-run with grown caps.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+G = 128  # mega-tile is (G, G)
+
+
+def _compact_kernel(cap: int, row_cap: int, n_payload: int, mask_ref, *refs):
+    payload_refs = refs[:n_payload]
+    out_refs = refs[n_payload:2 * n_payload]
+    meta_ref = refs[-1]
+
+    f32 = jnp.float32
+    mi = mask_ref[0, :, :]                               # (G, G) f32
+    total = jnp.sum(mi)
+    meta_lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
+    ltri = jnp.where(sub > lane, 1.0, 0.0)
+    ones_row = jnp.ones((1, G), f32)
+
+    # in-row exclusive prefix (MXU) and lane-indexed row counts/offsets
+    row_pos = jax.lax.dot_general(
+        mi, ltri, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+        precision=jax.lax.Precision.HIGHEST)
+    row_cnt_lane = jax.lax.dot_general(
+        ones_row, mi, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+        precision=jax.lax.Precision.HIGHEST)
+    row_off_lane = jax.lax.dot_general(
+        row_cnt_lane, ltri, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+        precision=jax.lax.Precision.HIGHEST)
+
+    over = (total > cap) | jnp.any(row_cnt_lane > row_cap)
+    meta_ref[0, 0, :] = jnp.where(
+        meta_lane[0] == 0, total,
+        jnp.where(meta_lane[0] == 1, over.astype(f32), 0.0))
+
+    if True:
+        # One fused loop over row-slot s: select each row's s-th survivor
+        # (mask + ones-contraction, no 3D one-hot tensors — VMEM-frugal)
+        # and scatter it to tile slot row_off[i] + s via a 2D one-hot.
+        # The loop bound is the tile's *actual* max row count (traced), so
+        # sparse tiles run only a few iterations.
+        k_col = jax.lax.broadcasted_iota(
+            jnp.int32, (cap, G), 0).astype(f32)
+        payloads = [pr[0, :, :] for pr in payload_refs]
+
+        def body(s, accs):
+            sf = s.astype(f32)
+            sel_s = jnp.where((row_pos == sf) & (mi > 0), 1.0, 0.0)  # (G, G)
+            pos_s = row_off_lane + sf
+            valid_s = row_cnt_lane > sf
+            oh_s = jnp.where((pos_s == k_col) & valid_s, 1.0, 0.0)
+            out = []
+            for q, acc in enumerate(accs):
+                jv_s = jax.lax.dot_general(              # (1, G_i)
+                    ones_row, sel_s * payloads[q],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=f32,
+                    precision=jax.lax.Precision.HIGHEST)
+                out.append(acc + oh_s * jv_s)
+            return tuple(out)
+
+        # dynamic bound: an empty tile runs zero iterations
+        max_rc = jnp.minimum(jnp.max(row_cnt_lane), float(row_cap)
+                             ).astype(jnp.int32)
+        accs = jax.lax.fori_loop(
+            0, max_rc, body,
+            tuple(jnp.zeros((cap, G), f32) for _ in payload_refs))
+        for outr, acc in zip(out_refs, accs):
+            outr[0, 0, :] = jax.lax.dot_general(
+                ones_row, acc, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=f32,
+                precision=jax.lax.Precision.HIGHEST)[0, :]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cap", "row_cap", "interpret"))
+def tile_compact(mask, payloads, cap: int = 256, row_cap: int = 8,
+                 interpret: bool = False):
+    """Compact ``payloads`` (tuple of (M,) arrays with values < 2^24) where
+    ``mask`` (M,) is set.  M must be a multiple of 16384 (pad with False).
+
+    Returns ``(slots, counts, overflow)``: per-payload padded slot arrays
+    (TILES, cap) f32, per-mega-tile survivor counts (TILES,), and a scalar
+    overflow flag (a 128-element run with > row_cap survivors or a
+    mega-tile with > cap also overflows).
+    """
+    M = mask.shape[0]
+    assert M % (G * G) == 0, M
+    tiles = M // (G * G)
+    m3 = mask.astype(jnp.float32).reshape(tiles, G, G)
+    # zero masked-out payload entries: callers may pass buffers whose dead
+    # slots hold garbage (e.g. never-written kernel outputs — NaN/inf), and
+    # 0 * inf = NaN would poison the one-hot contractions
+    p3 = [jnp.where(m3 > 0, jnp.asarray(p, jnp.float32).reshape(tiles, G, G),
+                    0.0)
+          for p in payloads]
+    n_payload = len(p3)
+
+    spec_in = pl.BlockSpec((1, G, G), lambda t: (t, 0, 0))
+    spec_out = pl.BlockSpec((1, 1, cap), lambda t: (t, 0, 0))
+    spec_meta = pl.BlockSpec((1, 1, 128), lambda t: (t, 0, 0))
+
+    outs = pl.pallas_call(
+        functools.partial(_compact_kernel, cap, row_cap, n_payload),
+        grid=(tiles,),
+        in_specs=[spec_in] * (1 + n_payload),
+        out_specs=[spec_out] * n_payload + [spec_meta],
+        out_shape=[jax.ShapeDtypeStruct((tiles, 1, cap), jnp.float32)
+                   for _ in range(n_payload)] +
+                  [jax.ShapeDtypeStruct((tiles, 1, 128), jnp.float32)],
+        interpret=interpret,
+    )(m3, *p3)
+    slots = [o[:, 0, :] for o in outs[:n_payload]]
+    meta = outs[-1]
+    counts = meta[:, 0, 0].astype(jnp.int32)
+    overflow = meta[:, 0, 1].sum() > 0
+    return slots, counts, overflow
+
+
+def finish_compact(slots, counts, capacity: int):
+    """XLA finish: flatten per-tile padded slots into one (capacity,) array
+    per payload plus the grand total.  Input is TILES*cap elements — far
+    smaller than the original mask."""
+    tiles, cap = slots[0].shape
+    k = jax.lax.broadcasted_iota(jnp.int32, (tiles, cap), 1)
+    valid = (k < counts[:, None]).reshape(-1)
+    v = valid.astype(jnp.int32)
+    pos = jnp.cumsum(v) - v
+    posx = jnp.where(valid, pos, capacity)
+    outs = []
+    for s in slots:
+        flat = s.astype(jnp.int32).reshape(-1)
+        outs.append(jnp.zeros((capacity,), jnp.int32).at[posx].set(
+            flat, mode="drop"))
+    return outs, v.sum()

@@ -135,19 +135,22 @@ def _pair_compact(G, ROW_CAP, CAP_PAIR, ti, tj, mi, gj, total, meta_lane,
     # in-row exclusive prefix: row_pos = mi @ strict_lower^T  (MXU)
     row_pos = jax.lax.dot_general(
         mi, ltri_strict, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=f32)                     # (G, G)
+        preferred_element_type=f32,
+        precision=jax.lax.Precision.HIGHEST)                     # (G, G)
 
     # lane-indexed row counts: sum over j as a (1,G)@(G,G) contraction so
     # the result is lane-indexed by i (no transpose needed)
     ones_row = jnp.ones((1, G), f32)
     row_cnt_lane = jax.lax.dot_general(                  # (1, G_i)
         ones_row, mi, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=f32)
+        preferred_element_type=f32,
+        precision=jax.lax.Precision.HIGHEST)
     # exclusive prefix over rows: row_off[i] = sum_{i'<i} cnt[i']
     row_off_lane = jax.lax.dot_general(                  # (1, G_i)
         row_cnt_lane, ltri_strict,
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=f32)
+        preferred_element_type=f32,
+        precision=jax.lax.Precision.HIGHEST)
 
     # row level: slot s of row i takes the j whose in-row prefix equals s.
     # onehot_row[s, i, j] — minor dim G, dim-0 iota (both Mosaic-safe).
@@ -177,10 +180,12 @@ def _pair_compact(G, ROW_CAP, CAP_PAIR, ti, tj, mi, gj, total, meta_lane,
     # dim-1/dim-1 contraction (works for any CAP_PAIR, no transpose)
     out_gi[0, 0, :] = jax.lax.dot_general(
         ones_row, acc_gi, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=f32)[0, :]
+        preferred_element_type=f32,
+        precision=jax.lax.Precision.HIGHEST)[0, :]
     out_gj[0, 0, :] = jax.lax.dot_general(
         ones_row, acc_gj, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=f32)[0, :]
+        preferred_element_type=f32,
+        precision=jax.lax.Precision.HIGHEST)[0, :]
 
     over = (total > CAP_PAIR) | jnp.any(row_cnt_lane > ROW_CAP)
     out_meta[0, 0, :] = jnp.where(

@@ -111,6 +111,12 @@ def _traverse_pair(bvh1: BVH, bvh2: BVH, alg: TraversalAlgorithm, *,
         if not (b.built_level <= sl <= b.tree.levels):
             raise ValueError(f"invalid start level {sl}")
 
+    from .tiles import TileTraversal
+    if isinstance(alg, TileTraversal):
+        raise NotImplementedError(
+            "TileTraversal currently supports self-contact only; use "
+            "LVTTraversal() or BFSTraversal() for BVH-vs-BVH traversal")
+
     if isinstance(alg, BFSTraversal):
         from . import bfs as _bfs
         return _bfs.traverse_bfs_pair(bvh1, bvh2,
