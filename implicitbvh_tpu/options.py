@@ -36,6 +36,14 @@ class BVHOptions:
     capacity_growth: float = 2.0
     min_capacity: int = 64
     block_size: int = 256
+    # Accepted for migration parity with the reference's CPU threading knobs
+    # (ref src/utils.jl:43-47); XLA owns scheduling on TPU, so these are
+    # validated but otherwise ignored.
+    num_threads: int = 1
+    min_mortons_per_thread: int = 100
+    min_sorts_per_thread: int = 100
+    min_boundings_per_thread: int = 100
+    min_traversals_per_thread: int = 100
 
     def __post_init__(self):
         if self.index_bits not in (32, 64):
@@ -44,6 +52,11 @@ class BVHOptions:
             raise ValueError("capacity_growth must be > 1")
         if self.min_capacity <= 0 or self.block_size <= 0:
             raise ValueError("min_capacity and block_size must be positive")
+        for f in ("num_threads", "min_mortons_per_thread",
+                  "min_sorts_per_thread", "min_boundings_per_thread",
+                  "min_traversals_per_thread"):
+            if getattr(self, f) <= 0:
+                raise ValueError(f"{f} must be positive")
 
     @property
     def index_dtype(self):

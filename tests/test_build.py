@@ -124,3 +124,33 @@ def test_build_morton_dtypes():
         bvh = ib.build(spheres5(), ib.BBox, options=opts)
         z = np.asarray(bvh.leaves.volume.x)[:, 2]
         assert (np.diff(z) > 0).all(), bits
+
+
+def test_options_reference_compat_kwargs():
+    # reference-style threading knobs are accepted (and ignored on TPU)
+    opts = ib.BVHOptions(num_threads=4, min_mortons_per_thread=50,
+                         min_sorts_per_thread=50, min_boundings_per_thread=50,
+                         min_traversals_per_thread=50)
+    bvh = ib.build(spheres5(), ib.BBox, options=opts)
+    assert bvh.tree.real_leaves == 5
+    import pytest
+    with pytest.raises(ValueError):
+        ib.BVHOptions(num_threads=0)
+
+
+def test_build_uint64_morton_traverse():
+    # u64 codes (native under x64 on CPU) through the whole pipeline
+    from implicitbvh_tpu.traverse import traverse
+    opts = ib.BVHOptions(morton=ib.DefaultMortonAlgorithm(bits=64))
+    bvh = ib.build(spheres5(), ib.BBox, options=opts)
+    t = traverse(bvh)
+    assert t.contacts_list() == [(1, 2), (2, 3), (4, 5)]
+
+
+def test_build_int64_indices():
+    opts = ib.BVHOptions(index_bits=64)
+    bvh = ib.build(spheres5(), ib.BBox, options=opts)
+    assert bvh.leaves.index.dtype == jnp.int64
+    from implicitbvh_tpu.traverse import traverse
+    t = traverse(bvh)
+    assert t.contacts_list() == [(1, 2), (2, 3), (4, 5)]

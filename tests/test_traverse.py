@@ -144,3 +144,11 @@ def test_custom_indices_reported():
     bvh = ib.build(leaves, ib.BBox, options=opts)
     t = traverse(bvh)
     assert t.contacts_list() == [(7, 9), (9, 11), (13, 15)]
+
+
+def test_fractional_built_level_traversal():
+    xs, rs, spheres = random_spheres(100, seed=21)
+    bf = brute_force(xs, rs)
+    bvh = ib.build(spheres, ib.BBox, built_level=0.5)
+    t = traverse(bvh, start_level=max(1, bvh.built_level))
+    assert set(t.contacts_list()) == bf
