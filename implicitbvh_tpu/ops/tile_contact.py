@@ -49,41 +49,42 @@ def _lane_cumsum(x):
 
 
 def _pair_kernel(sphere_leaves: bool, G: int, ROW_CAP: int, CAP_PAIR: int,
-                 n_real: int,
+                 n_real: int, B: int,
                  pk_ref, npairs_ref,   # scalar prefetch (packed ti<<16|tj)
                  *refs):
-    """One tile pair per grid step.
+    """B tile pairs per grid step (amortizes per-step fixed costs).
 
-    refs layout: [a_field0..a_fieldF, b_field0..b_fieldF,
-                  out_gi, out_gj, out_count, out_overflow]
-    with F = 4 for sphere leaves (x0, x1, x2, r) and 6 for box leaves
-    (lo0, lo1, lo2, up0, up1, up2); a/b blocks are (1, G) rows of the
-    (T, G) tiled arrays selected by the prefetched pair indices.
+    refs layout: for each pair slot b: F a-side blocks; then for each b: F
+    b-side blocks; then out_gi, out_gj, out_meta with per-slot rows
+    (blocks (1, B, CAP_PAIR) / (1, B, 128)).  F = 4 for sphere leaves
+    (x0, x1, x2, r), 6 for box leaves.
     """
     F = 4 if sphere_leaves else 6
-    a = [refs[k][0, 0, :] for k in range(F)]
-    b = [refs[F + k][0, 0, :] for k in range(F)]
-    out_gi, out_gj, out_meta = refs[2 * F:]
+    out_gi, out_gj, out_meta = refs[2 * F * B:]
 
     p = pl.program_id(0)
-    ti = pk_ref[p] >> 16
-    tj = pk_ref[p] & 0xFFFF
-    pair_valid = p < npairs_ref[0]
+    for bslot in range(B):
+        a = [refs[bslot * F + k][0, 0, :] for k in range(F)]
+        b = [refs[(B + bslot) * F + k][0, 0, :] for k in range(F)]
+        idx = p * B + bslot
+        ti = pk_ref[idx] >> 16
+        tj = pk_ref[idx] & 0xFFFF
+        pair_valid = idx < npairs_ref[0]
 
-    # Padded grid steps (p >= npairs) skip all compute; their count lane is
-    # zeroed so the driver-side extraction ignores their garbage slots.
-    @pl.when(jnp.logical_not(pair_valid))
-    def _():
-        out_meta[0, 0, :] = jnp.zeros((128,), jnp.float32)
+        # Padded steps skip all compute; their count lane is zeroed so the
+        # driver-side extraction ignores their garbage slots.
+        @pl.when(jnp.logical_not(pair_valid))
+        def _(bslot=bslot):
+            out_meta[0, bslot, :] = jnp.zeros((128,), jnp.float32)
 
-    @pl.when(pair_valid)
-    def _():
-        _pair_body(sphere_leaves, G, ROW_CAP, CAP_PAIR, n_real,
-                   ti, tj, a, b, out_gi, out_gj, out_meta)
+        @pl.when(pair_valid)
+        def _(bslot=bslot, ti=ti, tj=tj, a=a, b=b):
+            _pair_body(sphere_leaves, G, ROW_CAP, CAP_PAIR, n_real,
+                       ti, tj, a, b, out_gi, out_gj, out_meta, bslot)
 
 
 def _pair_body(sphere_leaves, G, ROW_CAP, CAP_PAIR, n_real,
-               ti, tj, a, b, out_gi, out_gj, out_meta):
+               ti, tj, a, b, out_gi, out_gj, out_meta, row):
     lane = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
     sub = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
 
@@ -114,16 +115,16 @@ def _pair_body(sphere_leaves, G, ROW_CAP, CAP_PAIR, n_real,
     # compaction for them (mask+count is ~1/5 of the per-pair cost).
     @pl.when(total == 0.0)
     def _():
-        out_meta[0, 0, :] = jnp.zeros((128,), jnp.float32)
+        out_meta[0, row, :] = jnp.zeros((128,), jnp.float32)
 
     @pl.when(total > 0.0)
     def _():
         _pair_compact(G, ROW_CAP, CAP_PAIR, ti, tj, mi, gj, total,
-                      meta_lane, out_gi, out_gj, out_meta)
+                      meta_lane, out_gi, out_gj, out_meta, row)
 
 
 def _pair_compact(G, ROW_CAP, CAP_PAIR, ti, tj, mi, gj, total, meta_lane,
-                  out_gi, out_gj, out_meta):
+                  out_gi, out_gj, out_meta, row):
     lane = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
     sub = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
     # --- in-VMEM two-level compaction --------------------------------------
@@ -178,17 +179,17 @@ def _pair_compact(G, ROW_CAP, CAP_PAIR, ti, tj, mi, gj, total, meta_lane,
         acc_gj = acc_gj + oh_s * jv[s:s + 1, :]
     # sum over i (lanes) with result lane-indexed by k: ones @ acc^T as a
     # dim-1/dim-1 contraction (works for any CAP_PAIR, no transpose)
-    out_gi[0, 0, :] = jax.lax.dot_general(
+    out_gi[0, row, :] = jax.lax.dot_general(
         ones_row, acc_gi, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=f32,
         precision=jax.lax.Precision.HIGHEST)[0, :]
-    out_gj[0, 0, :] = jax.lax.dot_general(
+    out_gj[0, row, :] = jax.lax.dot_general(
         ones_row, acc_gj, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=f32,
         precision=jax.lax.Precision.HIGHEST)[0, :]
 
     over = (total > CAP_PAIR) | jnp.any(row_cnt_lane > ROW_CAP)
-    out_meta[0, 0, :] = jnp.where(
+    out_meta[0, row, :] = jnp.where(
         meta_lane[0] == 0, total,
         jnp.where(meta_lane[0] == 1, over.astype(f32), 0.0))
 
@@ -196,10 +197,11 @@ def _pair_compact(G, ROW_CAP, CAP_PAIR, ti, tj, mi, gj, total, meta_lane,
 @functools.partial(
     jax.jit,
     static_argnames=("sphere_leaves", "G", "ROW_CAP", "CAP_PAIR", "n_real",
-                     "interpret"))
+                     "interpret", "batch"))
 def tile_pair_contacts(packed, npairs, a_fields, *, sphere_leaves: bool,
                        G: int, ROW_CAP: int = 4, CAP_PAIR: int = 16,
-                       n_real: int, interpret: bool = False):
+                       n_real: int, interpret: bool = False,
+                       batch: int = 8):
     """Run the tile-contact kernel.
 
     - ``packed``: (P_cap,) int32 tile pair indices packed as ti << 16 | tj
@@ -215,42 +217,52 @@ def tile_pair_contacts(packed, npairs, a_fields, *, sphere_leaves: bool,
     P_cap = packed.shape[0]
     F = len(a_fields)
     assert F == (4 if sphere_leaves else 6)
+    B = batch
+    assert P_cap % B == 0, (P_cap, B)
+    steps = P_cap // B
 
-    def row_spec(which):
+    def row_spec(which, bslot):
         # index_map receives (grid idx, *scalar prefetch refs); tiled
         # fields are (T, 1, G) so the (1, 1, G) block satisfies the TPU
         # (sublane, lane) block divisibility rule.  Pair indices arrive
         # packed (ti << 16 | tj) to halve SMEM footprint.
         if which == 0:
-            return pl.BlockSpec((1, 1, G),
-                                lambda p, pk_r, np_r: (pk_r[p] >> 16, 0, 0))
-        return pl.BlockSpec((1, 1, G),
-                            lambda p, pk_r, np_r: (pk_r[p] & 0xFFFF, 0, 0))
+            return pl.BlockSpec(
+                (1, 1, G),
+                lambda p, pk_r, np_r, b=bslot: (pk_r[p * B + b] >> 16, 0, 0))
+        return pl.BlockSpec(
+            (1, 1, G),
+            lambda p, pk_r, np_r, b=bslot: (pk_r[p * B + b] & 0xFFFF, 0, 0))
+
+    # one spec per (slot, field); fields cycle fastest within a slot
+    in_specs = ([row_spec(0, b) for b in range(B) for _ in range(F)] +
+                [row_spec(1, b) for b in range(B) for _ in range(F)])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(P_cap,),
-        in_specs=[row_spec(0)] * F + [row_spec(1)] * F,
+        grid=(steps,),
+        in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, 1, CAP_PAIR), lambda p, *_: (p, 0, 0)),
-            pl.BlockSpec((1, 1, CAP_PAIR), lambda p, *_: (p, 0, 0)),
-            pl.BlockSpec((1, 1, 128), lambda p, *_: (p, 0, 0)),
+            pl.BlockSpec((1, B, CAP_PAIR), lambda p, *_: (p, 0, 0)),
+            pl.BlockSpec((1, B, CAP_PAIR), lambda p, *_: (p, 0, 0)),
+            pl.BlockSpec((1, B, 128), lambda p, *_: (p, 0, 0)),
         ],
     )
 
     kernel = functools.partial(_pair_kernel, sphere_leaves, G, ROW_CAP,
-                               CAP_PAIR, n_real)
+                               CAP_PAIR, n_real, B)
+    a3 = [f[:, None, :] for f in a_fields]
     gi, gj, meta = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((P_cap, 1, CAP_PAIR), jnp.float32),
-            jax.ShapeDtypeStruct((P_cap, 1, CAP_PAIR), jnp.float32),
-            jax.ShapeDtypeStruct((P_cap, 1, 128), jnp.float32),
+            jax.ShapeDtypeStruct((steps, B, CAP_PAIR), jnp.float32),
+            jax.ShapeDtypeStruct((steps, B, CAP_PAIR), jnp.float32),
+            jax.ShapeDtypeStruct((steps, B, 128), jnp.float32),
         ],
         interpret=interpret,
-    )(packed, npairs, *[f[:, None, :] for f in a_fields],
-      *[f[:, None, :] for f in a_fields])
-    counts = meta[:, 0, 0].astype(jnp.int32)
-    over = meta[:, 0, 1].sum() > 0
-    return gi[:, 0, :], gj[:, 0, :], counts, over
+    )(packed, npairs, *(a3 * B), *(a3 * B))
+    counts = meta[:, :, 0].astype(jnp.int32).reshape(P_cap)
+    over = meta[:, :, 1].sum() > 0
+    return (gi.reshape(P_cap, CAP_PAIR), gj.reshape(P_cap, CAP_PAIR),
+            counts, over)
