@@ -102,7 +102,8 @@ def _phase1_tile_pairs(tile_lo, tile_up, G: int, P_cap: int):
     ovA &= jax.lax.broadcasted_iota(jnp.int32, (S, S), 0) <= \
         jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
     # scale with P_cap so the wrapper's growth loop also grows this level
-    SP_cap = max(S * 48, 1024, P_cap // 16)
+    # (measured: ~18 overlapping supertiles per supertile at unit density)
+    SP_cap = max(S * 24, 1024, P_cap // 64)
     kA = jnp.arange(S * S, dtype=jnp.int32)
     spacked, nsp = _compact_flat(ovA.reshape(-1), (kA // S) * S * SS + (kA % S) * SS,
                                  SP_cap)
