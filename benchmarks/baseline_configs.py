@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 import implicitbvh_tpu as ib
 from implicitbvh_tpu.traverse import (TileTraversal, traverse_tiles_fixed,
+                                      traverse_tiles_pair_fixed,
                                       traverse_lvt_pair_fixed)
 from implicitbvh_tpu.raytrace import traverse_rays_fixed
 
@@ -105,6 +106,17 @@ def config4():
 
     @jax.jit
     def pair(a1, a2, a3, b1, b2, b3):
+        bvh1 = ib.build(ib.bsphere_from_triangles(a1, a2, a3), ib.BBox)
+        bvh2 = ib.build(ib.bsphere_from_triangles(b1, b2, b3), ib.BBox)
+        total, _, _ = traverse_tiles_pair_fixed(bvh1, bvh2, 1 << 17)
+        return total
+
+    dt, total = timed_fetch(pair, a1, a2, a3, b1, b2, b3)
+    print(f"config4 pair {n1}x{n2} (tile path): {1000*dt:.2f} ms, "
+          f"{int(total)} contacts")
+
+    @jax.jit
+    def pair_lvt(a1, a2, a3, b1, b2, b3):
         bvh1 = ib.build(ib.bsphere_from_triangles(a1, a2, a3), ib.BBox,
                         built_level=2)
         bvh2 = ib.build(ib.bsphere_from_triangles(b1, b2, b3), ib.BBox)
@@ -112,9 +124,9 @@ def config4():
                                            start_level1=2)
         return total
 
-    dt, total = timed_fetch(pair, a1, a2, a3, b1, b2, b3)
-    print(f"config4 pair {n1}x{n2} (built_level=2): {1000*dt:.2f} ms, "
-          f"{int(total)} contacts")
+    dt, total = timed_fetch(pair_lvt, a1, a2, a3, b1, b2, b3)
+    print(f"config4 pair {n1}x{n2} (LVT walk, built_level=2): "
+          f"{1000*dt:.2f} ms, {int(total)} contacts")
 
 
 def config5():

@@ -49,7 +49,7 @@ def _lane_cumsum(x):
 
 
 def _pair_kernel(sphere_leaves: bool, G: int, ROW_CAP: int, CAP_PAIR: int,
-                 n_real: int, B: int,
+                 n_real: int, n_real_b: int, dedup: bool, B: int,
                  pk_ref, npairs_ref,   # scalar prefetch (packed ti<<16|tj)
                  *refs):
     """B tile pairs per grid step (amortizes per-step fixed costs).
@@ -80,11 +80,13 @@ def _pair_kernel(sphere_leaves: bool, G: int, ROW_CAP: int, CAP_PAIR: int,
         @pl.when(pair_valid)
         def _(bslot=bslot, ti=ti, tj=tj, a=a, b=b):
             _pair_body(sphere_leaves, G, ROW_CAP, CAP_PAIR, n_real,
-                       ti, tj, a, b, out_gi, out_gj, out_meta, bslot)
+                       n_real_b, dedup, ti, tj, a, b, out_gi, out_gj,
+                       out_meta, bslot)
 
 
 def _pair_body(sphere_leaves, G, ROW_CAP, CAP_PAIR, n_real,
-               ti, tj, a, b, out_gi, out_gj, out_meta, row):
+               n_real_b, dedup, ti, tj, a, b, out_gi, out_gj, out_meta,
+               row):
     lane = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
     sub = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
 
@@ -103,9 +105,11 @@ def _pair_body(sphere_leaves, G, ROW_CAP, CAP_PAIR, n_real,
         mask &= (a[4][:, None] >= b[1][None, :]) & (a[1][:, None] <= b[4][None, :])
         mask &= (a[5][:, None] >= b[2][None, :]) & (a[2][:, None] <= b[5][None, :])
 
-    # validity: real leaves only, dedup j > i in global sorted order
-    mask &= (gi < n_real) & (gj < n_real)
-    mask &= gj > gi
+    # validity: real leaves only; for self-contact additionally dedup to
+    # j > i in global sorted order (two-BVH traversal keeps the full grid)
+    mask &= (gi < n_real) & (gj < n_real_b)
+    if dedup:
+        mask &= gj > gi
 
     mi = mask.astype(jnp.float32)
     total = jnp.sum(mi)
@@ -197,10 +201,12 @@ def _pair_compact(G, ROW_CAP, CAP_PAIR, ti, tj, mi, gj, total, meta_lane,
 @functools.partial(
     jax.jit,
     static_argnames=("sphere_leaves", "G", "ROW_CAP", "CAP_PAIR", "n_real",
-                     "interpret", "batch"))
-def tile_pair_contacts(packed, npairs, a_fields, *, sphere_leaves: bool,
+                     "n_real_b", "dedup", "interpret", "batch"))
+def tile_pair_contacts(packed, npairs, a_fields, b_fields=None, *,
+                       sphere_leaves: bool,
                        G: int, ROW_CAP: int = 4, CAP_PAIR: int = 16,
-                       n_real: int, interpret: bool = False,
+                       n_real: int, n_real_b: int = None, dedup: bool = True,
+                       interpret: bool = False,
                        batch: int = 8):
     """Run the tile-contact kernel.
 
@@ -215,6 +221,10 @@ def tile_pair_contacts(packed, npairs, a_fields, *, sphere_leaves: bool,
     (P_cap,), and a scalar overflow flag.
     """
     P_cap = packed.shape[0]
+    if b_fields is None:
+        b_fields = a_fields
+    if n_real_b is None:
+        n_real_b = n_real
     F = len(a_fields)
     assert F == (4 if sphere_leaves else 6)
     B = batch
@@ -250,8 +260,9 @@ def tile_pair_contacts(packed, npairs, a_fields, *, sphere_leaves: bool,
     )
 
     kernel = functools.partial(_pair_kernel, sphere_leaves, G, ROW_CAP,
-                               CAP_PAIR, n_real, B)
+                               CAP_PAIR, n_real, n_real_b, dedup, B)
     a3 = [f[:, None, :] for f in a_fields]
+    b3 = [f[:, None, :] for f in b_fields]
     gi, gj, meta = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -261,7 +272,7 @@ def tile_pair_contacts(packed, npairs, a_fields, *, sphere_leaves: bool,
             jax.ShapeDtypeStruct((steps, B, 128), jnp.float32),
         ],
         interpret=interpret,
-    )(packed, npairs, *(a3 * B), *(a3 * B))
+    )(packed, npairs, *(a3 * B), *(b3 * B))
     counts = meta[:, :, 0].astype(jnp.int32).reshape(P_cap)
     over = meta[:, :, 1].sum() > 0
     return (gi.reshape(P_cap, CAP_PAIR), gj.reshape(P_cap, CAP_PAIR),

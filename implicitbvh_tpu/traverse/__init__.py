@@ -2,11 +2,13 @@ from .types import BFSTraversal, BVHTraversal, LVTTraversal, TraversalAlgorithm
 from .api import default_start_level, traverse
 from .lvt import (traverse_lvt_pair_fixed, traverse_lvt_single_fixed,
                   default_start_level_lvt)
-from .tiles import TileTraversal, traverse_tiles, traverse_tiles_fixed
+from .tiles import (TileTraversal, traverse_tiles, traverse_tiles_fixed,
+                    traverse_tiles_pair, traverse_tiles_pair_fixed)
 
 __all__ = [
     "BFSTraversal", "BVHTraversal", "LVTTraversal", "TileTraversal",
     "TraversalAlgorithm", "default_start_level", "traverse",
     "traverse_lvt_single_fixed", "traverse_lvt_pair_fixed",
     "traverse_tiles", "traverse_tiles_fixed",
+    "traverse_tiles_pair", "traverse_tiles_pair_fixed",
 ]

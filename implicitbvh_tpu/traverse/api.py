@@ -111,11 +111,10 @@ def _traverse_pair(bvh1: BVH, bvh2: BVH, alg: TraversalAlgorithm, *,
         if not (b.built_level <= sl <= b.tree.levels):
             raise ValueError(f"invalid start level {sl}")
 
-    from .tiles import TileTraversal
+    from .tiles import TileTraversal, traverse_tiles_pair
     if isinstance(alg, TileTraversal):
-        raise NotImplementedError(
-            "TileTraversal currently supports self-contact only; use "
-            "LVTTraversal() or BFSTraversal() for BVH-vs-BVH traversal")
+        return traverse_tiles_pair(bvh1, bvh2, alg=alg, narrow=narrow,
+                                   options=options)
 
     if isinstance(alg, BFSTraversal):
         from . import bfs as _bfs

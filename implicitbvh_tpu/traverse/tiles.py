@@ -170,9 +170,11 @@ def _tiled_fields(bvh: BVH, G: int):
 
 
 def _extract_contacts(gi_slots, gj_slots, counts, leaf_index, narrow_mask_fn,
-                      capacity: int):
+                      capacity: int, leaf_index_b=None,
+                      sort_pairs: bool = True):
     """Compact padded per-pair slots into the final (capacity, 2) contact
-    list of user-index pairs, sorted (min, max)."""
+    list of user-index pairs — sorted (min, max) for self-contact, tree
+    order (i1, i2) for two-BVH traversal (ref traverse_pair_cpu.jl:633)."""
     P_cap, CAP_PAIR = gi_slots.shape
     slot = jax.lax.broadcasted_iota(jnp.int32, (P_cap, CAP_PAIR), 1)
     valid = slot < counts[:, None]
@@ -186,9 +188,12 @@ def _extract_contacts(gi_slots, gj_slots, counts, leaf_index, narrow_mask_fn,
     out_gj = jnp.zeros((capacity,), jnp.int32).at[posx].set(gj, mode="drop")
     total = v.sum()
     # map global sorted positions -> user indices (small gather)
+    if leaf_index_b is None:
+        leaf_index_b = leaf_index
     n = leaf_index.shape[0]
+    nb = leaf_index_b.shape[0]
     ui = leaf_index[jnp.clip(out_gi, 0, n - 1)]
-    uj = leaf_index[jnp.clip(out_gj, 0, n - 1)]
+    uj = leaf_index_b[jnp.clip(out_gj, 0, nb - 1)]
     lane = jnp.arange(capacity, dtype=jnp.int32)
     in_range = lane < total
     if narrow_mask_fn is not None:
@@ -200,8 +205,12 @@ def _extract_contacts(gi_slots, gj_slots, counts, leaf_index, narrow_mask_fn,
         uj = jnp.zeros((capacity,), uj.dtype).at[posx2].set(uj, mode="drop")
         total = k.sum()
         in_range = lane < total
-    a = jnp.where(in_range, jnp.minimum(ui, uj), 0)
-    b = jnp.where(in_range, jnp.maximum(ui, uj), 0)
+    if sort_pairs:
+        a = jnp.where(in_range, jnp.minimum(ui, uj), 0)
+        b = jnp.where(in_range, jnp.maximum(ui, uj), 0)
+    else:
+        a = jnp.where(in_range, ui, 0)
+        b = jnp.where(in_range, uj, 0)
     return total, jnp.stack([a, b], axis=-1)
 
 
@@ -297,3 +306,166 @@ def traverse_tiles(bvh: BVH, *, alg: "TileTraversal" = None, narrow=None,
                             pair_cap=min(4 * alg.pair_cap,
                                          alg.tile * alg.tile))
     raise RuntimeError("tile traversal capacities kept overflowing")
+
+
+# --------------------------------------------------------------------------
+# Two-BVH tile traversal (dense cross-tile pass)
+# --------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("G", "P_cap"))
+def _phase1_cross_pairs(tlo1, tup1, tlo2, tup2, G: int, P_cap: int):
+    """Cross-tile pair extraction between two tiled leaf sets: overlapping
+    (tile-of-bvh1, tile-of-bvh2) pairs — the full grid, no triangle."""
+    T1 = tlo1[0].shape[0]
+    T2 = tlo2[0].shape[0]
+    SS = 32
+
+    def prep(tl, tu):
+        T = tl[0].shape[0]
+        S = -(-T // SS)
+        pad = S * SS - T
+
+        def padt(a, fill):
+            if pad:
+                a = jnp.concatenate([a, jnp.full((pad,), fill, a.dtype)])
+            return a
+        tl = tuple(padt(c, jnp.inf) for c in tl)
+        tu = tuple(padt(c, -jnp.inf) for c in tu)
+        slo = tuple(c.reshape(S, SS).min(1) for c in tl)
+        sup = tuple(c.reshape(S, SS).max(1) for c in tu)
+        return tl, tu, slo, sup, S
+
+    tl1, tu1, slo1, sup1, S1 = prep(tlo1, tup1)
+    tl2, tu2, slo2, sup2, S2 = prep(tlo2, tup2)
+
+    # level A: full S1 x S2 supertile overlap grid
+    ovA = _overlap(slo1, sup1, slo2, sup2)
+    SP_cap = max(S1 * 24, S2 * 24, 1024, P_cap // 64)
+    kA = jnp.arange(S1 * S2, dtype=jnp.int32)
+    spacked, nsp = _compact_flat(
+        ovA.reshape(-1), (kA // S2) * S2 * SS + (kA % S2) * SS, SP_cap)
+    sp_overflow = nsp > SP_cap
+    si_base = spacked // (S2 * SS) * SS
+    sj_base = spacked % (S2 * SS)
+
+    # level B: SS x SS cross tile tests per supertile pair, SP_cap on lanes
+    k_in = jnp.arange(SS, dtype=jnp.int32)
+    ti_g = k_in[:, None] + si_base[None, :]
+    tj_g = k_in[:, None] + sj_base[None, :]
+    a_lo = tuple(c[ti_g] for c in tl1)
+    a_up = tuple(c[ti_g] for c in tu1)
+    b_lo = tuple(c[tj_g] for c in tl2)
+    b_up = tuple(c[tj_g] for c in tu2)
+    ovB = _overlap(a_lo, a_up, b_lo, b_up,
+                   bc=lambda x: x[:, None, :], br=lambda x: x[None, :, :])
+    tii = ti_g[:, None, :]
+    tjj = tj_g[None, :, :]
+    ovB &= (tii < T1) & (tjj < T2)
+    sp_lane = jnp.arange(SP_cap, dtype=jnp.int32)
+    ovB &= (sp_lane < nsp)[None, None, :]
+
+    packed_val = ((tii << 16) | tjj)
+    flat = ovB.reshape(-1)
+    vals = jnp.broadcast_to(packed_val, (SS, SS, SP_cap)).reshape(-1)
+    packed, npairs = _compact_flat(flat, vals, P_cap)
+    npairs = jnp.where(sp_overflow, P_cap + 1, npairs)
+    return packed, npairs
+
+
+@partial(jax.jit, static_argnames=("capacity", "alg", "pair_capacity",
+                                   "narrow", "interpret"))
+def traverse_tiles_pair_fixed(bvh1: BVH, bvh2: BVH, capacity: int, *,
+                              alg: "TileTraversal" = None,
+                              pair_capacity: Optional[int] = None,
+                              narrow=None,
+                              interpret: Optional[bool] = None):
+    """Fully-traced fixed-capacity two-BVH tile traversal.
+
+    Returns ``(total, contacts, overflow)``; contacts are tree-order
+    (index-in-bvh1, index-in-bvh2) pairs including symmetric and (i, i)
+    pairs — the reference's pair-traversal semantics
+    (ref traverse_pair_cpu.jl:615-645).  Both BVHs must have the same leaf
+    volume kind.
+    """
+    from ..ops.tile_contact import tile_pair_contacts
+
+    alg = alg or TileTraversal()
+    G = alg.tile
+    if interpret is None:
+        interpret = _use_interpret()
+    if bvh1.leaf_kind is not bvh2.leaf_kind:
+        raise NotImplementedError(
+            "tile pair traversal requires matching leaf volume kinds")
+
+    f1, sphere, tlo1, tup1, T1 = _tiled_fields(bvh1, G)
+    f2, _, tlo2, tup2, T2 = _tiled_fields(bvh2, G)
+    if max(T1, T2) >= 1 << 16:
+        raise ValueError("tile count exceeds 65536; raise the tile size")
+    if pair_capacity is None:
+        pair_capacity = max((((T1 + T2) * 18 + 8191) // 8192) * 8192, 8192)
+    packed, npairs = _phase1_cross_pairs(tlo1, tup1, tlo2, tup2, G,
+                                         pair_capacity)
+    pair_overflow = npairs > pair_capacity
+
+    CHUNK = 1 << 17
+    gi_parts, gj_parts, cnt_parts = [], [], []
+    slot_overflow = jnp.zeros((), jnp.bool_)
+    for start in range(0, pair_capacity, CHUNK):
+        sub = packed[start:start + CHUNK]
+        np_c = jnp.clip(npairs - start, 0, sub.shape[0])
+        gi_c, gj_c, cnt_c, ov_c = tile_pair_contacts(
+            sub, np_c.reshape(1).astype(jnp.int32), f1, f2,
+            sphere_leaves=sphere, G=G, ROW_CAP=alg.row_cap,
+            CAP_PAIR=alg.pair_cap, n_real=bvh1.num_leaves,
+            n_real_b=bvh2.num_leaves, dedup=False, interpret=interpret)
+        gi_parts.append(gi_c)
+        gj_parts.append(gj_c)
+        cnt_parts.append(cnt_c)
+        slot_overflow = slot_overflow | ov_c
+    gi_s = jnp.concatenate(gi_parts, axis=0)
+    gj_s = jnp.concatenate(gj_parts, axis=0)
+    counts = jnp.concatenate(cnt_parts, axis=0)
+
+    narrow_fn = None
+    if narrow is not None:
+        l1, l2 = bvh1.leaves, bvh2.leaves
+
+        def narrow_fn(gi, gj):
+            la = jax.tree_util.tree_map(lambda x: x[gi], l1)
+            lb = jax.tree_util.tree_map(lambda x: x[gj], l2)
+            return narrow(la, lb)
+
+    total, contacts = _extract_contacts(
+        gi_s, gj_s, counts, bvh1.leaves.index, narrow_fn, capacity,
+        leaf_index_b=bvh2.leaves.index, sort_pairs=False)
+    overflow = pair_overflow | slot_overflow | (total > capacity)
+    return total, contacts, overflow
+
+
+def traverse_tiles_pair(bvh1: BVH, bvh2: BVH, *, alg: "TileTraversal" = None,
+                        narrow=None,
+                        options: BVHOptions = DEFAULT_OPTIONS
+                        ) -> BVHTraversal:
+    """Host wrapper with overflow-driven capacity growth (two-BVH)."""
+    alg = alg or TileTraversal()
+    idt = bvh1.skips.dtype
+    capacity = max(options.min_capacity,
+                   2 * max(bvh1.num_leaves, bvh2.num_leaves))
+    capacity = 1 << math.ceil(math.log2(capacity))
+    T = (-(-bvh1.num_leaves // alg.tile)) + (-(-bvh2.num_leaves // alg.tile))
+    pair_capacity = max(((T * 18 + 8191) // 8192) * 8192, 8192)
+    for _ in range(8):
+        total, contacts, overflow = traverse_tiles_pair_fixed(
+            bvh1, bvh2, capacity, alg=alg, pair_capacity=pair_capacity,
+            narrow=narrow)
+        if not bool(overflow):
+            return BVHTraversal(num_contacts=int(total), cache1=contacts,
+                                cache2=jnp.zeros((0,), idt), start_level1=1,
+                                start_level2=1)
+        capacity *= 2
+        pair_capacity *= 2
+        alg = TileTraversal(tile=alg.tile, row_cap=min(4 * alg.row_cap,
+                                                       alg.tile),
+                            pair_cap=min(4 * alg.pair_cap,
+                                         alg.tile * alg.tile))
+    raise RuntimeError("tile pair traversal capacities kept overflowing")

@@ -94,3 +94,33 @@ def test_tiles_single_and_tiny():
     two = ib.build(ib.BSphere(jnp.asarray(xs), jnp.asarray(rs)), ib.BBox)
     t = traverse_tiles(two, alg=TileTraversal(tile=32))
     assert t.contacts_list() == [(1, 2)]
+
+
+def test_tiles_pair_differential():
+    xs1, rs1, sp1 = spheres(150, 31)
+    xs2, rs2, sp2 = spheres(90, 32)
+    d2 = ((xs1[:, None, :] - xs2[None, :, :]) ** 2).sum(-1)
+    rr = (rs1[:, None] + rs2[None, :]) ** 2
+    bf = {(i + 1, j + 1) for i in range(150) for j in range(90)
+          if d2[i, j] <= rr[i, j]}
+    b1 = ib.build(sp1, ib.BBox)
+    b2 = ib.build(sp2, ib.BBox)
+    t = traverse(b1, b2, TileTraversal(tile=32))
+    assert set(t.contacts_list()) == bf
+    # matches the LVT pair path exactly
+    t_lvt = traverse(b1, b2)
+    assert sorted(t.contacts_list()) == sorted(t_lvt.contacts_list())
+
+
+def test_tiles_pair_narrow():
+    xs1, rs1, sp1 = spheres(60, 33)
+    xs2, rs2, sp2 = spheres(70, 34)
+
+    def narrow(l1, l2):
+        return (l1.index * 3 + l2.index) % 4 != 0
+
+    b1 = ib.build(sp1, ib.BBox)
+    b2 = ib.build(sp2, ib.BBox)
+    t = traverse(b1, b2, TileTraversal(tile=32), narrow=narrow)
+    t_lvt = traverse(b1, b2, narrow=narrow)
+    assert sorted(t.contacts_list()) == sorted(t_lvt.contacts_list())
