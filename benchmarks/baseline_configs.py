@@ -140,18 +140,21 @@ def config5():
     @jax.jit
     def step(x, r):
         bvh = ib.build(ib.BSphere(x, r), ib.BBox)
-        total, _, _ = traverse_tiles_fixed(bvh, 1 << 22, alg=TileTraversal())
-        return x + v, total  # move particles for the next step
+        total, _, overflow = traverse_tiles_fixed(bvh, 1 << 22,
+                                                  alg=TileTraversal())
+        return x + v, total, overflow  # move particles for the next step
 
-    (x2, total) = step(x, r)
+    (x2, total, overflow) = step(x, r)
     float(total)
     t0 = time.time()
     for _ in range(3):
-        x2, total = step(x2, r)
+        x2, total, overflow = step(x2, r)
     float(total)
     dt = (time.time() - t0) / 3
+    suffix = "  WARNING: capacity overflow, counts truncated" \
+        if bool(overflow) else ""
     print(f"config5 {n} moving particles, per-step rebuild+contact: "
-          f"{1000*dt:.2f} ms, {int(total)} contacts")
+          f"{1000*dt:.2f} ms, {int(total)} contacts{suffix}")
 
 
 if __name__ == "__main__":

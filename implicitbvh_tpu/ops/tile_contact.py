@@ -67,7 +67,9 @@ def _pair_kernel(sphere_leaves: bool, G: int, ROW_CAP: int, CAP_PAIR: int,
         a = [refs[bslot * F + k][0, 0, :] for k in range(F)]
         b = [refs[(B + bslot) * F + k][0, 0, :] for k in range(F)]
         idx = p * B + bslot
-        ti = pk_ref[idx] >> 16
+        # mask after the arithmetic shift: packed values with ti >= 32768
+        # are negative in int32 and would otherwise sign-extend
+        ti = (pk_ref[idx] >> 16) & 0xFFFF
         tj = pk_ref[idx] & 0xFFFF
         pair_valid = idx < npairs_ref[0]
 
@@ -239,7 +241,8 @@ def tile_pair_contacts(packed, npairs, a_fields, b_fields=None, *,
         if which == 0:
             return pl.BlockSpec(
                 (1, 1, G),
-                lambda p, pk_r, np_r, b=bslot: (pk_r[p * B + b] >> 16, 0, 0))
+                lambda p, pk_r, np_r, b=bslot: (
+                    (pk_r[p * B + b] >> 16) & 0xFFFF, 0, 0))
         return pl.BlockSpec(
             (1, 1, G),
             lambda p, pk_r, np_r, b=bslot: (pk_r[p * B + b] & 0xFFFF, 0, 0))

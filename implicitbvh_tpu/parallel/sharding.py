@@ -87,9 +87,13 @@ def sharded_self_contact(mesh: Mesh, bvh: BVH, capacity_per_device: int,
                          axis: str = AXIS):
     """Self-contact traversal with leaves sharded over ``mesh``.
 
-    Returns ``(total, contacts)`` where ``contacts`` is
+    Returns ``(total, contacts, counts, overflow)`` where ``contacts`` is
     ``(n_dev * capacity_per_device, 2)`` with each device's valid prefix in
-    its slice; ``total`` is the global contact count (psum over ICI).
+    its slice, ``total`` is the global contact count (psum over ICI),
+    ``counts`` is the per-device valid-prefix length ``(n_dev,)``, and
+    ``overflow`` signals that some device produced more contacts than
+    ``capacity_per_device`` (its slice is truncated) — mirroring the
+    single-chip fixed-capacity API contract.
 
     Requires the leaf count to be divisible by the mesh size (pad upstream
     if needed).
@@ -108,12 +112,14 @@ def sharded_self_contact(mesh: Mesh, bvh: BVH, capacity_per_device: int,
         total, out = _local_self_contact(
             bvh_rep, local_leaves, lane_offset, start_level,
             capacity_per_device, narrow)
-        return jax.lax.psum(total, axis), out
+        overflow = jax.lax.psum(
+            (total > capacity_per_device).astype(jnp.int32), axis) > 0
+        return (jax.lax.psum(total, axis), out, total.reshape(1), overflow)
 
     fn = shard_map(
         local_fn, mesh=mesh,
         in_specs=(P(), P(axis)),
-        out_specs=(P(), P(axis)),
+        out_specs=(P(), P(axis), P(axis), P()),
         check_vma=False,
     )
     leaves_sharded = jax.tree_util.tree_map(lambda a: a, bvh.leaves)
@@ -125,8 +131,9 @@ def sharded_rays(mesh: Mesh, bvh: BVH, points, directions,
                  narrow=None, axis: str = AXIS):
     """Ray traversal with rays sharded over ``mesh``; (3, N) ray matrices.
 
-    Returns ``(total, contacts)`` like :func:`sharded_self_contact`; ray
-    indices in contacts are *global* 1-based.
+    Returns ``(total, contacts, counts, overflow)`` like
+    :func:`sharded_self_contact`; ray indices in contacts are *global*
+    1-based.
     """
     n_dev = mesh.shape[axis]
     nrays = points.shape[1]
@@ -164,12 +171,15 @@ def sharded_rays(mesh: Mesh, bvh: BVH, points, directions,
             bvh_rep.tree, bvh_rep.nodes, bvh_rep.leaves, bvh_rep.skips,
             start_level, node_test, leaf_test, emit, num_lanes=k,
             capacity=capacity_per_device, offsets=offsets)
-        return jax.lax.psum(counts.sum(), axis), out
+        total = counts.sum()
+        overflow = jax.lax.psum(
+            (total > capacity_per_device).astype(jnp.int32), axis) > 0
+        return (jax.lax.psum(total, axis), out, total.reshape(1), overflow)
 
     fn = shard_map(
         local_fn, mesh=mesh,
         in_specs=(P(), P(axis), P(axis)),
-        out_specs=(P(), P(axis)),
+        out_specs=(P(), P(axis), P(axis), P()),
         check_vma=False,
     )
     return fn(bvh, p_l, d_l)
@@ -182,7 +192,7 @@ def sharded_rebuild_traverse_step(mesh: Mesh, node_kind=BBox,
     updated leaf spheres and run sharded self-contact — the TPU analogue of
     the reference's cache-reusing per-step rebuild loop (BASELINE config 5).
 
-    Returns a jittable ``step(x, r) -> (total, contacts)``.
+    Returns a jittable ``step(x, r) -> (total, contacts, counts, overflow)``.
     """
 
     @jax.jit

@@ -37,8 +37,11 @@ def test_sharded_self_contact_matches_single(mesh):
     xs, rs, sp = spheres(128, 42)
     bf = brute_force(xs, rs)
     bvh = ib.build(sp, ib.BBox)
-    total, out = sharded_self_contact(mesh, bvh, capacity_per_device=256)
+    total, out, counts, overflow = sharded_self_contact(
+        mesh, bvh, capacity_per_device=256)
     assert int(total) == len(bf)
+    assert int(jnp.sum(counts)) == len(bf)
+    assert not bool(overflow)
     got = {tuple(map(int, r)) for r in np.asarray(out) if tuple(r) != (0, 0)}
     assert got == bf
 
@@ -50,8 +53,11 @@ def test_sharded_rays_matches_single(mesh):
     d = (rng.random((3, 16)).astype(np.float32) - 0.5)
     bvh = ib.build(sp, ib.BBox)
     ref = set(ib.traverse_rays(bvh, p, d).contacts_list())
-    total, out = sharded_rays(mesh, bvh, p, d, capacity_per_device=128)
+    total, out, counts, overflow = sharded_rays(
+        mesh, bvh, p, d, capacity_per_device=128)
     assert int(total) == len(ref)
+    assert int(jnp.sum(counts)) == len(ref)
+    assert not bool(overflow)
     got = {tuple(map(int, r)) for r in np.asarray(out) if tuple(r) != (0, 0)}
     assert got == ref
 
@@ -60,11 +66,12 @@ def test_sharded_full_step(mesh):
     xs, rs, sp = spheres(128, 3)
     bf = brute_force(xs, rs)
     step = sharded_rebuild_traverse_step(mesh, capacity_per_device=256)
-    total, out = step(sp.x, sp.r)
+    total, out, counts, overflow = step(sp.x, sp.r)
     assert int(total) == len(bf)
+    assert not bool(overflow)
     # move geometry and step again (recompile-free fixed shapes)
     xs2 = xs + 0.1
-    total2, _ = step(jnp.asarray(xs2), sp.r)
+    total2, _, _, _ = step(jnp.asarray(xs2), sp.r)
     bf2 = brute_force(xs2, rs)
     assert int(total2) == len(bf2)
 

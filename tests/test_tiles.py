@@ -124,3 +124,36 @@ def test_tiles_pair_narrow():
     t = traverse(b1, b2, TileTraversal(tile=32), narrow=narrow)
     t_lvt = traverse(b1, b2, narrow=narrow)
     assert sorted(t.contacts_list()) == sorted(t_lvt.contacts_list())
+
+
+def test_kernel_decode_high_tile_index():
+    """Packed (ti << 16 | tj) decodes with ti >= 32768 must mask after the
+    arithmetic shift (int32 sign extension would corrupt the block index)."""
+    import jax
+    import jax.numpy as jnp
+    from implicitbvh_tpu.ops.tile_contact import tile_pair_contacts
+
+    G = 128
+    ti, tj = 32768, 32769
+    T = 32770
+    # all tiles at huge offsets except the two under test: tile ti leaf k at
+    # (k, 0, 0), tile tj leaf k at (k, 0.05, 0), r = 0.1 -> diagonal contacts
+    x0 = jnp.zeros((T, G), jnp.float32).at[ti].set(jnp.arange(G, dtype=jnp.float32))
+    x0 = x0.at[tj].set(jnp.arange(G, dtype=jnp.float32))
+    x1 = jnp.full((T, G), 1e6, jnp.float32).at[ti].set(0.0).at[tj].set(0.05)
+    x2 = jnp.zeros((T, G), jnp.float32)
+    r = jnp.full((T, G), 0.1, jnp.float32)
+    pk = (ti << 16) | tj
+    pk = pk - (1 << 32) if pk >= (1 << 31) else pk  # int32 wraparound
+    packed = jnp.zeros((8,), jnp.int32).at[0].set(pk)
+    gi, gj, counts, over = tile_pair_contacts(
+        packed, jnp.ones((1,), jnp.int32), (x0, x1, x2, r),
+        sphere_leaves=True, G=G, ROW_CAP=2, CAP_PAIR=G, n_real=T * G,
+        dedup=False, interpret=True)
+    assert int(counts[0]) == G
+    assert not bool(over)
+    # diagonal contacts: gi = ti*G + k, gj = tj*G + k
+    gis = sorted(int(v) for v in gi[0][:G])
+    gjs = sorted(int(v) for v in gj[0][:G])
+    assert gis == [ti * G + k for k in range(G)]
+    assert gjs == [tj * G + k for k in range(G)]
