@@ -20,6 +20,7 @@ from .traverse import (BFSTraversal, BVHTraversal, LVTTraversal,
                        TileTraversal, TraversalAlgorithm,
                        default_start_level, traverse,
                        traverse_lvt_pair_fixed, traverse_lvt_single_fixed,
+                       traverse_rays_tiles, traverse_rays_tiles_fixed,
                        traverse_tiles, traverse_tiles_fixed)
 from .raytrace import traverse_rays, traverse_rays_fixed
 
@@ -28,6 +29,7 @@ __version__ = "0.1.0"
 __all__ = [
     "BFSTraversal", "BVHTraversal", "LVTTraversal", "TraversalAlgorithm",
     "default_start_level", "traverse", "traverse_rays", "traverse_rays_fixed",
+    "traverse_rays_tiles", "traverse_rays_tiles_fixed",
     "traverse_lvt_single_fixed", "traverse_lvt_pair_fixed",
     "BVH", "BVHOptions", "DEFAULT_OPTIONS", "BoundingVolume", "Leaves",
     "ImplicitTree", "DefaultMortonAlgorithm", "MortonAlgorithm",

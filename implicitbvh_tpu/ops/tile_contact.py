@@ -48,24 +48,36 @@ def _lane_cumsum(x):
     return x
 
 
-def _pair_kernel(sphere_leaves: bool, G: int, ROW_CAP: int, CAP_PAIR: int,
+MASK_FIELD_COUNTS = {
+    # mask_kind -> (a-side field count, b-side field count)
+    "sphere": (4, 4),        # spheres vs spheres: (x0, x1, x2, r)
+    "box": (6, 6),           # boxes vs boxes: (lo0, lo1, lo2, up0, up1, up2)
+    "ray_box": (6, 6),       # rays (p0, p1, p2, d0, d1, d2) vs box leaves
+    "ray_sphere": (6, 4),    # rays vs sphere leaves
+}
+
+
+def _pair_kernel(mask_kind: str, G: int, ROW_CAP: int, CAP_PAIR: int,
                  n_real: int, n_real_b: int, dedup: bool, B: int,
                  pk_ref, npairs_ref,   # scalar prefetch (packed ti<<16|tj)
                  *refs):
     """B tile pairs per grid step (amortizes per-step fixed costs).
 
-    refs layout: for each pair slot b: F a-side blocks; then for each b: F
+    refs layout: for each pair slot b: Fa a-side blocks; then for each b: Fb
     b-side blocks; then out_gi, out_gj, out_meta with per-slot rows
-    (blocks (1, B, CAP_PAIR) / (1, B, 128)).  F = 4 for sphere leaves
-    (x0, x1, x2, r), 6 for box leaves.
+    (blocks (1, B, CAP_PAIR) / (1, B, 128)).  (Fa, Fb) per MASK_FIELD_COUNTS.
     """
-    F = 4 if sphere_leaves else 6
-    out_gi, out_gj, out_meta = refs[2 * F * B:]
+    Fa, Fb = MASK_FIELD_COUNTS[mask_kind]
+    out_gi, out_gj, out_meta = refs[2 * B:]
 
     p = pl.program_id(0)
     for bslot in range(B):
-        a = [refs[bslot * F + k][0, 0, :] for k in range(F)]
-        b = [refs[(B + bslot) * F + k][0, 0, :] for k in range(F)]
+        # each side's fields arrive packed in ONE (1, 8, G) block per pair
+        # slot: a single large DMA instead of F small ones (the kernel is
+        # DMA-issue-bound at ~130 ns per issued copy, so per-field blocks
+        # cost ~1.3 us/pair; packed blocks cut that ~5x)
+        a = [refs[bslot][0, k, :] for k in range(Fa)]
+        b = [refs[B + bslot][0, k, :] for k in range(Fb)]
         idx = p * B + bslot
         # mask after the arithmetic shift: packed values with ti >= 32768
         # are negative in int32 and would otherwise sign-extend
@@ -81,12 +93,74 @@ def _pair_kernel(sphere_leaves: bool, G: int, ROW_CAP: int, CAP_PAIR: int,
 
         @pl.when(pair_valid)
         def _(bslot=bslot, ti=ti, tj=tj, a=a, b=b):
-            _pair_body(sphere_leaves, G, ROW_CAP, CAP_PAIR, n_real,
+            _pair_body(mask_kind, G, ROW_CAP, CAP_PAIR, n_real,
                        n_real_b, dedup, ti, tj, a, b, out_gi, out_gj,
                        out_meta, bslot)
 
 
-def _pair_body(sphere_leaves, G, ROW_CAP, CAP_PAIR, n_real,
+def _mask_sphere(a, b):
+    dx = a[0][:, None] - b[0][None, :]
+    dy = a[1][:, None] - b[1][None, :]
+    dz = a[2][:, None] - b[2][None, :]
+    rr = a[3][:, None] + b[3][None, :]
+    return dx * dx + dy * dy + dz * dz <= rr * rr
+
+
+def _mask_box(a, b):
+    mask = (a[3][:, None] >= b[0][None, :]) & (a[0][:, None] <= b[3][None, :])
+    mask &= (a[4][:, None] >= b[1][None, :]) & (a[1][:, None] <= b[4][None, :])
+    mask &= (a[5][:, None] >= b[2][None, :]) & (a[2][:, None] <= b[5][None, :])
+    return mask
+
+
+def _mask_ray_box(a, b):
+    """Rays on sublanes (a = p0, p1, p2, d0, d1, d2) vs box leaves on lanes
+    (b = lo0, lo1, lo2, up0, up1, up2): forward slab test, replicating
+    volumes.isintersection exactly (where-select min/max for the reference's
+    NaN asymmetry, ref src/bounding_volumes/isintersection.jl:1-40)."""
+    def min2(x, y):
+        return jnp.where(x < y, x, y)
+
+    def max2(x, y):
+        return jnp.where(x > y, x, y)
+
+    tmin = None
+    tmax = None
+    for k in range(3):
+        inv = (1.0 / a[3 + k])[:, None]
+        po = a[k][:, None]
+        t1 = (b[k][None, :] - po) * inv
+        t2 = (b[3 + k][None, :] - po) * inv
+        lo = min2(t1, t2)
+        hi = max2(t1, t2)
+        tmin = lo if tmin is None else max2(tmin, lo)
+        tmax = hi if tmax is None else min2(tmax, hi)
+    return (tmin <= tmax) & (tmax >= 0)
+
+
+def _mask_ray_sphere(a, b):
+    """Rays on sublanes vs sphere leaves on lanes (b = x0, x1, x2, r):
+    quadratic-discriminant forward test (ref isintersection.jl:42-65)."""
+    qa = (a[3] * a[3] + a[4] * a[4] + a[5] * a[5])[:, None]
+    po0 = a[0][:, None] - b[0][None, :]
+    po1 = a[1][:, None] - b[1][None, :]
+    po2 = a[2][:, None] - b[2][None, :]
+    qb = 2.0 * (po0 * a[3][:, None] + po1 * a[4][:, None] +
+                po2 * a[5][:, None])
+    qc = po0 * po0 + po1 * po1 + po2 * po2 - (b[3] * b[3])[None, :]
+    disc = qb * qb - 4.0 * qa * qc
+    return (disc >= 0) & ((qb <= 0) | (qc <= 0))
+
+
+_MASK_FNS = {
+    "sphere": _mask_sphere,
+    "box": _mask_box,
+    "ray_box": _mask_ray_box,
+    "ray_sphere": _mask_ray_sphere,
+}
+
+
+def _pair_body(mask_kind, G, ROW_CAP, CAP_PAIR, n_real,
                n_real_b, dedup, ti, tj, a, b, out_gi, out_gj, out_meta,
                row):
     lane = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
@@ -96,16 +170,7 @@ def _pair_body(sphere_leaves, G, ROW_CAP, CAP_PAIR, n_real,
     gj = tj * G + lane
 
     # --- contact mask -----------------------------------------------------
-    if sphere_leaves:
-        dx = a[0][:, None] - b[0][None, :]
-        dy = a[1][:, None] - b[1][None, :]
-        dz = a[2][:, None] - b[2][None, :]
-        rr = a[3][:, None] + b[3][None, :]
-        mask = dx * dx + dy * dy + dz * dz <= rr * rr
-    else:
-        mask = (a[3][:, None] >= b[0][None, :]) & (a[0][:, None] <= b[3][None, :])
-        mask &= (a[4][:, None] >= b[1][None, :]) & (a[1][:, None] <= b[4][None, :])
-        mask &= (a[5][:, None] >= b[2][None, :]) & (a[2][:, None] <= b[5][None, :])
+    mask = _MASK_FNS[mask_kind](a, b)
 
     # validity: real leaves only; for self-contact additionally dedup to
     # j > i in global sorted order (two-BVH traversal keeps the full grid)
@@ -202,10 +267,10 @@ def _pair_compact(G, ROW_CAP, CAP_PAIR, ti, tj, mi, gj, total, meta_lane,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sphere_leaves", "G", "ROW_CAP", "CAP_PAIR", "n_real",
+    static_argnames=("mask_kind", "G", "ROW_CAP", "CAP_PAIR", "n_real",
                      "n_real_b", "dedup", "interpret", "batch"))
 def tile_pair_contacts(packed, npairs, a_fields, b_fields=None, *,
-                       sphere_leaves: bool,
+                       mask_kind: str,
                        G: int, ROW_CAP: int = 4, CAP_PAIR: int = 16,
                        n_real: int, n_real_b: int = None, dedup: bool = True,
                        interpret: bool = False,
@@ -213,10 +278,13 @@ def tile_pair_contacts(packed, npairs, a_fields, b_fields=None, *,
     """Run the tile-contact kernel.
 
     - ``packed``: (P_cap,) int32 tile pair indices packed as ti << 16 | tj
-      (ti <= tj), padded; the caller chunks so P_cap stays within SMEM.
+      (ti <= tj for self-contact), padded; the caller chunks so P_cap stays
+      within SMEM.
     - ``npairs``: (1,) int32 number of valid pairs.
-    - ``a_fields``: tuple of (T, G) f32 tiled leaf fields (4 for spheres,
-      6 for boxes).
+    - ``a_fields``/``b_fields``: tuples of (T, G) f32 tiled fields; the
+      per-side field layout is selected by ``mask_kind`` (see
+      MASK_FIELD_COUNTS): "sphere"/"box" for leaf-vs-leaf contact,
+      "ray_box"/"ray_sphere" for ray tiles (a-side) vs leaf tiles (b-side).
 
     Returns (gi, gj, counts, overflow): per-pair padded contact slots of
     global sorted positions as f32 (P_cap, CAP_PAIR), per-pair counts
@@ -227,29 +295,44 @@ def tile_pair_contacts(packed, npairs, a_fields, b_fields=None, *,
         b_fields = a_fields
     if n_real_b is None:
         n_real_b = n_real
-    F = len(a_fields)
-    assert F == (4 if sphere_leaves else 6)
+    Fa, Fb = MASK_FIELD_COUNTS[mask_kind]
+    assert len(a_fields) == Fa and len(b_fields) == Fb, \
+        (mask_kind, len(a_fields), len(b_fields))
     B = batch
     assert P_cap % B == 0, (P_cap, B)
     steps = P_cap // B
 
+    def pack(fields):
+        """(T, G) field tuple -> one (T, 8, G) array (pad rows zero)."""
+        T = fields[0].shape[0]
+        stackd = jnp.stack(fields, axis=1)
+        nf = len(fields)
+        if nf < 8:
+            stackd = jnp.concatenate(
+                [stackd, jnp.zeros((T, 8 - nf, G), stackd.dtype)], axis=1)
+        return stackd
+
+    a_packed = pack(a_fields)
+    b_packed = pack(b_fields)
+
     def row_spec(which, bslot):
-        # index_map receives (grid idx, *scalar prefetch refs); tiled
-        # fields are (T, 1, G) so the (1, 1, G) block satisfies the TPU
+        # index_map receives (grid idx, *scalar prefetch refs); packed
+        # fields are (T, 8, G) so the (1, 8, G) block satisfies the TPU
         # (sublane, lane) block divisibility rule.  Pair indices arrive
-        # packed (ti << 16 | tj) to halve SMEM footprint.
+        # packed (ti << 16 | tj) to halve SMEM footprint; the decode masks
+        # after the arithmetic shift (ti >= 32768 is negative in int32).
         if which == 0:
             return pl.BlockSpec(
-                (1, 1, G),
+                (1, 8, G),
                 lambda p, pk_r, np_r, b=bslot: (
                     (pk_r[p * B + b] >> 16) & 0xFFFF, 0, 0))
         return pl.BlockSpec(
-            (1, 1, G),
+            (1, 8, G),
             lambda p, pk_r, np_r, b=bslot: (pk_r[p * B + b] & 0xFFFF, 0, 0))
 
-    # one spec per (slot, field); fields cycle fastest within a slot
-    in_specs = ([row_spec(0, b) for b in range(B) for _ in range(F)] +
-                [row_spec(1, b) for b in range(B) for _ in range(F)])
+    # one packed spec per (side, slot)
+    in_specs = ([row_spec(0, b) for b in range(B)] +
+                [row_spec(1, b) for b in range(B)])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -262,10 +345,8 @@ def tile_pair_contacts(packed, npairs, a_fields, b_fields=None, *,
         ],
     )
 
-    kernel = functools.partial(_pair_kernel, sphere_leaves, G, ROW_CAP,
+    kernel = functools.partial(_pair_kernel, mask_kind, G, ROW_CAP,
                                CAP_PAIR, n_real, n_real_b, dedup, B)
-    a3 = [f[:, None, :] for f in a_fields]
-    b3 = [f[:, None, :] for f in b_fields]
     gi, gj, meta = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -275,7 +356,7 @@ def tile_pair_contacts(packed, npairs, a_fields, b_fields=None, *,
             jax.ShapeDtypeStruct((steps, B, 128), jnp.float32),
         ],
         interpret=interpret,
-    )(packed, npairs, *(a3 * B), *(b3 * B))
+    )(packed, npairs, *([a_packed] * B), *([b_packed] * B))
     counts = meta[:, :, 0].astype(jnp.int32).reshape(P_cap)
     over = meta[:, :, 1].sum() > 0
     return (gi.reshape(P_cap, CAP_PAIR), gj.reshape(P_cap, CAP_PAIR),

@@ -125,6 +125,12 @@ def traverse_rays(bvh: BVH, points, directions,
         return _bfs.traverse_rays_bfs(bvh, p, d, start_level=start_level,
                                       narrow=narrow, options=options)
 
+    from .traverse.tiles import TileTraversal
+    if isinstance(alg, TileTraversal):
+        from .traverse.ray_tiles import traverse_rays_tiles
+        return traverse_rays_tiles(bvh, points, directions, alg=alg,
+                                   narrow=narrow, options=options)
+
     counts = rays_count(bvh, p, d, start_level, narrow)
     offsets = jnp.cumsum(counts) - counts
     total = int(counts.sum())

@@ -4,6 +4,7 @@ from .lvt import (traverse_lvt_pair_fixed, traverse_lvt_single_fixed,
                   default_start_level_lvt)
 from .tiles import (TileTraversal, traverse_tiles, traverse_tiles_fixed,
                     traverse_tiles_pair, traverse_tiles_pair_fixed)
+from .ray_tiles import traverse_rays_tiles, traverse_rays_tiles_fixed
 
 __all__ = [
     "BFSTraversal", "BVHTraversal", "LVTTraversal", "TileTraversal",
@@ -11,4 +12,5 @@ __all__ = [
     "traverse_lvt_single_fixed", "traverse_lvt_pair_fixed",
     "traverse_tiles", "traverse_tiles_fixed",
     "traverse_tiles_pair", "traverse_tiles_pair_fixed",
+    "traverse_rays_tiles", "traverse_rays_tiles_fixed",
 ]

@@ -253,7 +253,8 @@ def traverse_tiles_fixed(bvh: BVH, capacity: int, *,
         np_c = jnp.clip(npairs - start, 0, sub.shape[0])
         gi_c, gj_c, cnt_c, ov_c = tile_pair_contacts(
             sub, np_c.reshape(1).astype(jnp.int32), fields,
-            sphere_leaves=sphere, G=G, ROW_CAP=alg.row_cap,
+            mask_kind="sphere" if sphere else "box", G=G,
+            ROW_CAP=alg.row_cap,
             CAP_PAIR=alg.pair_cap, n_real=n, interpret=interpret)
         gi_parts.append(gi_c)
         gj_parts.append(gj_c)
@@ -415,7 +416,8 @@ def traverse_tiles_pair_fixed(bvh1: BVH, bvh2: BVH, capacity: int, *,
         np_c = jnp.clip(npairs - start, 0, sub.shape[0])
         gi_c, gj_c, cnt_c, ov_c = tile_pair_contacts(
             sub, np_c.reshape(1).astype(jnp.int32), f1, f2,
-            sphere_leaves=sphere, G=G, ROW_CAP=alg.row_cap,
+            mask_kind="sphere" if sphere else "box", G=G,
+            ROW_CAP=alg.row_cap,
             CAP_PAIR=alg.pair_cap, n_real=bvh1.num_leaves,
             n_real_b=bvh2.num_leaves, dedup=False, interpret=interpret)
         gi_parts.append(gi_c)
