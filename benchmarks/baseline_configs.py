@@ -80,6 +80,8 @@ def config2():
 
 
 def config3():
+    from implicitbvh_tpu.traverse.ray_tiles import traverse_rays_tiles_fixed
+
     n = 1 << 14 if ON_CPU else 1 << 18
     p1, p2, p3 = tri_soup(n)
     bvh = ib.build(ib.bsphere_from_triangles(p1, p2, p3), ib.BBox)
@@ -90,13 +92,29 @@ def config3():
         d = jnp.asarray((rng.random((3, nrays)) - 0.5).astype(np.float32))
 
         @jax.jit
-        def rays(p, d):
-            total, _ = traverse_rays_fixed(bvh, p, d, capacity=1 << 20)
-            return total
+        def rays_tiles(p, d):
+            total, _, ov = traverse_rays_tiles_fixed(bvh, p, d,
+                                                     capacity=1 << 20)
+            return total, ov
 
-        dt, total = timed_fetch(rays, p, d)
-        print(f"config3 {nrays} rays vs {n} BVs: {1000*dt:.2f} ms, "
-              f"{int(total)} hits")
+        dt, (total, ov) = timed_fetch(rays_tiles, p, d)
+        warn = "  WARNING: overflow" if bool(ov) else ""
+        print(f"config3 {nrays} rays vs {n} BVs (tile path): "
+              f"{1000*dt:.2f} ms, {int(total)} hits{warn}")
+
+    # walk-engine reference point at 1k rays (the pre-tile default)
+    nrays = 1000
+    p = jnp.asarray((rng.random((3, nrays)) * scale).astype(np.float32))
+    d = jnp.asarray((rng.random((3, nrays)) - 0.5).astype(np.float32))
+
+    @jax.jit
+    def rays_walk(p, d):
+        total, _ = traverse_rays_fixed(bvh, p, d, capacity=1 << 20)
+        return total
+
+    dt, total = timed_fetch(rays_walk, p, d)
+    print(f"config3 {nrays} rays vs {n} BVs (LVT walk): {1000*dt:.2f} ms, "
+          f"{int(total)} hits")
 
 
 def config4():

@@ -361,3 +361,148 @@ def tile_pair_contacts(packed, npairs, a_fields, b_fields=None, *,
     over = meta[:, :, 1].sum() > 0
     return (gi.reshape(P_cap, CAP_PAIR), gj.reshape(P_cap, CAP_PAIR),
             counts, over)
+
+
+# ---------------------------------------------------------------------------
+# Grouped ("wide") kernel: one a-tile vs W b-tiles per grid step
+# ---------------------------------------------------------------------------
+
+def _group_kernel(mask_kind: str, G: int, W: int, ROW_CAP: int,
+                  CAP_PAIR: int, dedup: bool,
+                  ai_ref, bi_ref, nsteps_ref,   # scalar prefetch
+                  *refs):
+    """One a-tile against W b-tiles per grid step.
+
+    The per-pair kernel above is bounded by per-pair scalar sequencing and
+    mask issue (~1 us/pair for the 22-op ray mask); grouping W pairs that
+    share the a-tile computes ONE (G, W*G) wide mask — amortizing the
+    scalar overhead and the a-side DMA W-fold.  Validity is encoded in the
+    data: padded tiles/lanes hold NaN fields, whose comparisons are false.
+
+    refs: a block (1, 8, G); W b blocks (1, 8, G); out_gi, out_gj, out_meta
+    with (1, W, CAP_PAIR) / (1, W, 128) blocks.
+    """
+    Fa, Fb = MASK_FIELD_COUNTS[mask_kind]
+    aref = refs[0]
+    brefs = refs[1:1 + W]
+    out_gi, out_gj, out_meta = refs[1 + W:]
+
+    s = pl.program_id(0)
+    step_valid = s < nsteps_ref[0]
+
+    @pl.when(jnp.logical_not(step_valid))
+    def _():
+        out_meta[0, :, :] = jnp.zeros((W, 128), jnp.float32)
+
+    @pl.when(step_valid)
+    def _():
+        a = [aref[0, k, :] for k in range(Fa)]
+        bw = [jnp.concatenate(
+            [brefs[w][0, k, :][None, :] for w in range(W)], axis=1)[0]
+            for k in range(Fb)]
+        mask = _MASK_FNS[mask_kind](a, bw)          # (G, W*G)
+
+        ti = ai_ref[s]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
+        meta_lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        for w in range(W):
+            tj = bi_ref[s * W + w]
+            mw = mask[:, w * G:(w + 1) * G]
+            if dedup:
+                # self-contact: global sorted-order j > i (ref lvt
+                # traverse_single.jl:163-167)
+                gi = ti * G + sub
+                gj_d = tj * G + lane
+                mw = mw & (gj_d > gi)
+            mi = mw.astype(jnp.float32)
+            total = jnp.sum(mi)
+            gj = tj * G + lane
+
+            @pl.when(total == 0.0)
+            def _(w=w):
+                out_meta[0, w, :] = jnp.zeros((128,), jnp.float32)
+
+            @pl.when(total > 0.0)
+            def _(w=w, ti=ti, tj=tj, mi=mi, gj=gj, total=total):
+                _pair_compact(G, ROW_CAP, CAP_PAIR, ti, tj, mi, gj,
+                              total, meta_lane, out_gi, out_gj, out_meta, w)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mask_kind", "G", "W", "ROW_CAP", "CAP_PAIR",
+                     "dedup", "interpret"))
+def tile_group_contacts(a_idx, b_idx, nsteps, a_fields, b_fields=None, *,
+                        mask_kind: str, G: int, W: int = 8,
+                        ROW_CAP: int = 4, CAP_PAIR: int = 16,
+                        dedup: bool = False, interpret: bool = False):
+    """Run the grouped tile-contact kernel.
+
+    - ``a_idx``: (S_cap,) int32 a-tile index per step.
+    - ``b_idx``: (S_cap * W,) int32 b-tile indices, flat row-major (2D SMEM
+      prefetch arrays pad the minor dim to 128 lanes — 1D stays compact);
+      pad entries point at the NaN pad tile appended to ``b_fields``.
+    - ``nsteps``: (1,) int32 number of valid steps.
+    - ``a_fields``/``b_fields``: (T, G) f32 field tuples; a NaN pad tile is
+      appended to each side here, so padded b slots and padded lanes produce
+      an all-false mask.
+
+    Returns (gi, gj, counts, overflow) with per-pair rows (S_cap * W,
+    CAP_PAIR) / (S_cap * W,), matching :func:`tile_pair_contacts`.
+    """
+    S_cap = a_idx.shape[0]
+    if b_fields is None:
+        b_fields = a_fields
+    Fa, Fb = MASK_FIELD_COUNTS[mask_kind]
+    assert len(a_fields) == Fa and len(b_fields) == Fb, \
+        (mask_kind, len(a_fields), len(b_fields))
+
+    def pack(fields):
+        T = fields[0].shape[0]
+        stackd = jnp.stack(fields, axis=1)
+        nf = len(fields)
+        if nf < 8:
+            stackd = jnp.concatenate(
+                [stackd, jnp.zeros((T, 8 - nf, G), stackd.dtype)], axis=1)
+        # append the NaN pad tile (index T)
+        return jnp.concatenate(
+            [stackd, jnp.full((1, 8, G), jnp.nan, stackd.dtype)], axis=0)
+
+    a_packed = pack(a_fields)
+    b_packed = pack(b_fields)
+
+    a_spec = pl.BlockSpec(
+        (1, 8, G), lambda s, ai, bi, ns: (ai[s], 0, 0))
+
+    def b_spec(w):
+        return pl.BlockSpec(
+            (1, 8, G), lambda s, ai, bi, ns, w=w: (bi[s * W + w], 0, 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(S_cap,),
+        in_specs=[a_spec] + [b_spec(w) for w in range(W)],
+        out_specs=[
+            pl.BlockSpec((1, W, CAP_PAIR), lambda s, *_: (s, 0, 0)),
+            pl.BlockSpec((1, W, CAP_PAIR), lambda s, *_: (s, 0, 0)),
+            pl.BlockSpec((1, W, 128), lambda s, *_: (s, 0, 0)),
+        ],
+    )
+
+    kernel = functools.partial(_group_kernel, mask_kind, G, W, ROW_CAP,
+                               CAP_PAIR, dedup)
+    gi, gj, meta = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((S_cap, W, CAP_PAIR), jnp.float32),
+            jax.ShapeDtypeStruct((S_cap, W, CAP_PAIR), jnp.float32),
+            jax.ShapeDtypeStruct((S_cap, W, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(a_idx, b_idx, nsteps, a_packed, *([b_packed] * W))
+    counts = meta[:, :, 0].astype(jnp.int32).reshape(S_cap * W)
+    over = meta[:, :, 1].sum() > 0
+    return (gi.reshape(S_cap * W, CAP_PAIR), gj.reshape(S_cap * W, CAP_PAIR),
+            counts, over)

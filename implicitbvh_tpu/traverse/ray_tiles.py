@@ -37,12 +37,10 @@ import jax.numpy as jnp
 from ..build import BVH
 from ..morton import DefaultMortonAlgorithm, morton_encode
 from ..options import DEFAULT_OPTIONS, BVHOptions
-from .tiles import TileTraversal, _compact_flat, _extract_contacts, \
+from .tiles import TileTraversal, _extract_contacts, \
     _tiled_fields, _use_interpret
 from .types import BVHTraversal
 
-# padding rays: far-away origin + zero direction never intersect anything
-_PAD_ORIGIN = 1e30
 
 
 def _sort_rays(p, d):
@@ -76,17 +74,16 @@ def _ray_tile_fields(p, d, perm, G: int):
             a = jnp.concatenate([a, jnp.full((pad,), fill, a.dtype)])
         return a.reshape(RT, G)
 
-    fields = tuple(padded(p[k], _PAD_ORIGIN) for k in range(3)) + \
-        tuple(padded(d[k], 0.0) for k in range(3))
+    # NaN padding: every comparison against a padded ray is false, so no
+    # explicit validity guard is needed in the kernels
+    nan = float("nan")
+    fields = tuple(padded(p[k], nan) for k in range(3)) + \
+        tuple(padded(d[k], nan) for k in range(3))
     return fields, RT
 
 
-@partial(jax.jit, static_argnames=("P_cap",))
-def _phase1_ray_tile_pairs(rfields, tile_lo, tile_up, P_cap: int):
-    """Candidate (ray-tile, leaf-tile) pairs: for each ray tile, slab-test
-    its G rays against every leaf-tile AABB and any-reduce over the rays.
-
-    Returns (packed rt << 16 | lt, npairs)."""
+def _ray_tile_hits(rfields, tile_lo, tile_up):
+    """(RT, T) bool: does any ray of ray-tile rt hit leaf-tile t's AABB."""
     RT = rfields[0].shape[0]
     T = tile_lo[0].shape[0]
     G = rfields[0].shape[1]
@@ -127,11 +124,35 @@ def _phase1_ray_tile_pairs(rfields, tile_lo, tile_up, P_cap: int):
         hit = (tmin <= tmax) & (tmax >= 0)
         return jnp.any(hit.reshape(MB, G, T), axis=1)
 
-    hits = jax.lax.map(block, stacked).reshape(RTB * MB, T)[:RT]
-    k = jnp.arange(RT * T, dtype=jnp.int32)
-    vals = ((k // T) << 16) | (k % T)
-    packed, npairs = _compact_flat(hits.reshape(-1), vals, P_cap)
-    return packed, npairs
+    return jax.lax.map(block, stacked).reshape(RTB * MB, T)[:RT]
+
+
+@partial(jax.jit, static_argnames=("W", "S_cap"))
+def _phase1_ray_tile_groups(rfields, tile_lo, tile_up, W: int, S_cap: int):
+    """Grouped candidate extraction for the wide kernel: per ray tile, its
+    candidate leaf tiles are packed W per step.
+
+    Returns (a_idx (S_cap,), b_idx (S_cap, W), nsteps); pad b entries point
+    at the NaN pad tile (index T)."""
+    hits = _ray_tile_hits(rfields, tile_lo, tile_up)
+    RT, T = hits.shape
+    h = hits.astype(jnp.int32)
+    q = jnp.cumsum(h, axis=1) - h                  # within-row exclusive pos
+    cnt = q[:, -1] + h[:, -1]                      # (RT,)
+    gcnt = (cnt + W - 1) // W                      # groups per ray tile
+    goff = jnp.cumsum(gcnt) - gcnt
+    nsteps = gcnt.sum()
+
+    rt_idx = jax.lax.broadcasted_iota(jnp.int32, (RT, T), 0)
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (RT, T), 1)
+    step = goff[:, None] + q // W
+    dst = jnp.where(hits, step * W + q % W, S_cap * W)
+    b_flat = jnp.full((S_cap * W,), T, jnp.int32).at[
+        dst.reshape(-1)].set(t_idx.reshape(-1), mode="drop")
+    a_dst = jnp.where(hits, step, S_cap)
+    a_idx = jnp.zeros((S_cap,), jnp.int32).at[
+        a_dst.reshape(-1)].set(rt_idx.reshape(-1), mode="drop")
+    return a_idx, b_flat, nsteps
 
 
 @partial(jax.jit, static_argnames=("capacity", "alg", "pair_capacity",
@@ -147,10 +168,12 @@ def traverse_rays_tiles_fixed(bvh: BVH, points, directions, capacity: int, *,
     ``(total, contacts, overflow)`` with contacts as (leaf_user_index, iray)
     pairs (1-based ray indices); ``overflow`` signals a static capacity was
     exceeded and the :func:`traverse_rays_tiles` wrapper must grow."""
-    from ..ops.tile_contact import tile_pair_contacts
+    from ..ops.tile_contact import tile_group_contacts
     from ..raytrace import _prep_rays  # lazy: avoids an import cycle
 
-    alg = alg or TileTraversal()
+    # rays default to a deeper per-ray slot cap: a single ray can pass
+    # through several leaves of one tile in dense scenes (row = ray)
+    alg = alg or TileTraversal(row_cap=8)
     G = alg.tile
     if interpret is None:
         interpret = _use_interpret()
@@ -163,25 +186,29 @@ def traverse_rays_tiles_fixed(bvh: BVH, points, directions, capacity: int, *,
     if T >= 1 << 16 or RT >= 1 << 16:
         raise ValueError("tile count exceeds 65536; raise the tile size")
 
+    W = 8
+    CHUNK = 1 << 14                # steps per kernel call (SMEM-bounded)
     if pair_capacity is None:
         # measured density: ~420 candidate leaf tiles per 128-ray block for
         # fully random rays (growth wrapper covers heavier scenes)
-        pair_capacity = max(((RT * 512 + 8191) // 8192) * 8192, 8192)
-    packed, npairs = _phase1_ray_tile_pairs(rfields, tile_lo, tile_up,
-                                            pair_capacity)
-    pair_overflow = npairs > pair_capacity
+        pair_capacity = max(((RT * 448 + 8191) // 8192) * 8192, 8192)
+    # each ray tile can leave one partially-filled W-group
+    S_cap = -(-(pair_capacity // W + RT) // CHUNK) * CHUNK
+    a_idx, b_idx, nsteps = _phase1_ray_tile_groups(
+        rfields, tile_lo, tile_up, W, S_cap)
+    pair_overflow = nsteps > S_cap
 
-    CHUNK = 1 << 17
     gi_parts, gj_parts, cnt_parts = [], [], []
     slot_overflow = jnp.zeros((), jnp.bool_)
-    for start in range(0, pair_capacity, CHUNK):
-        sub = packed[start:start + CHUNK]
-        np_c = jnp.clip(npairs - start, 0, sub.shape[0])
-        gi_c, gj_c, cnt_c, ov_c = tile_pair_contacts(
-            sub, np_c.reshape(1).astype(jnp.int32), rfields, fields,
-            mask_kind="ray_sphere" if sphere else "ray_box", G=G,
-            ROW_CAP=alg.row_cap, CAP_PAIR=alg.pair_cap, n_real=n_rays,
-            n_real_b=bvh.num_leaves, dedup=False, interpret=interpret)
+    for start in range(0, S_cap, CHUNK):
+        ns_c = jnp.clip(nsteps - start, 0, CHUNK)
+        gi_c, gj_c, cnt_c, ov_c = tile_group_contacts(
+            a_idx[start:start + CHUNK],
+            b_idx[start * W:(start + CHUNK) * W],
+            ns_c.reshape(1).astype(jnp.int32), rfields, fields,
+            mask_kind="ray_sphere" if sphere else "ray_box", G=G, W=W,
+            ROW_CAP=alg.row_cap, CAP_PAIR=alg.pair_cap,
+            dedup=False, interpret=interpret)
         gi_parts.append(gi_c)      # ray sorted positions
         gj_parts.append(gj_c)      # leaf sorted positions
         cnt_parts.append(cnt_c)
@@ -221,7 +248,7 @@ def traverse_rays_tiles(bvh: BVH, points, directions, *,
                         options: BVHOptions = DEFAULT_OPTIONS
                         ) -> BVHTraversal:
     """Host wrapper with overflow-driven capacity growth (ray tiles)."""
-    alg = alg or TileTraversal()
+    alg = alg or TileTraversal(row_cap=8)
     idt = bvh.skips.dtype
     n_rays = int(jnp.asarray(points).shape[1])
     if n_rays == 0 or bvh.tree.real_nodes < 1:
@@ -231,7 +258,7 @@ def traverse_rays_tiles(bvh: BVH, points, directions, *,
     capacity = max(options.min_capacity, 4 * n_rays)
     capacity = 1 << math.ceil(math.log2(capacity))
     RT = -(-n_rays // alg.tile)
-    pair_capacity = max(((RT * 512 + 8191) // 8192) * 8192, 8192)
+    pair_capacity = max(((RT * 448 + 8191) // 8192) * 8192, 8192)
     for _ in range(8):
         total, contacts, overflow = traverse_rays_tiles_fixed(
             bvh, points, directions, capacity, alg=alg,

@@ -152,14 +152,17 @@ def _tiled_fields(bvh: BVH, G: int):
             a = jnp.concatenate([a, jnp.full((pad,), fill, a.dtype)])
         return a.reshape(T, G)
 
+    # NaN field padding: every predicate comparison against a padded leaf
+    # is false, so kernels need no explicit trailing-tile validity guard
+    nan = float("nan")
     if isinstance(vol, BSphere):
-        fields = tuple(padded(c, 0.0) for c in vol.xs) + (padded(vol.r, 0.0),)
+        fields = tuple(padded(c, nan) for c in vol.xs) + (padded(vol.r, nan),)
         blos = tuple(padded(vol.xs[k] - vol.r, jnp.inf) for k in range(3))
         bups = tuple(padded(vol.xs[k] + vol.r, -jnp.inf) for k in range(3))
         sphere = True
     else:
-        fields = tuple(padded(c, 0.0) for c in vol.los) + \
-            tuple(padded(c, 0.0) for c in vol.ups)
+        fields = tuple(padded(c, nan) for c in vol.los) + \
+            tuple(padded(c, nan) for c in vol.ups)
         blos = tuple(padded(c, jnp.inf) for c in vol.los)
         bups = tuple(padded(c, -jnp.inf) for c in vol.ups)
         sphere = False
