@@ -52,7 +52,9 @@ def main():
     G = 128
     T = -(-n_tri // G)
     pair_capacity = max(((T * 36 + 8191) // 8192) * 8192, 8192)
-    capacity = 1 << math.ceil(math.log2(n_tri))
+    # right-sized contact capacity (~3.7x the measured 71.7k contacts at 1M;
+    # overflow is checked and reported) — extraction cost scales with it
+    capacity = max(1 << math.ceil(math.log2(n_tri)) - 2, 4096)
     alg = TileTraversal(row_cap=4, pair_cap=32)
 
     def step(q1, q2, q3):
@@ -60,20 +62,23 @@ def main():
         bvh = ib.build(spheres, ib.BBox)
         total, contacts, overflow = traverse_tiles_fixed(
             bvh, capacity, alg=alg, pair_capacity=pair_capacity)
-        return total, overflow
+        # consume the contact buffer so no stage can be dead-code-eliminated
+        checksum = contacts.sum(dtype=jnp.int32)
+        return total, overflow, checksum
 
     @jax.jit
     def chained(q1, q2, q3):
         def body(i, carry):
             q1, acc = carry
-            total, overflow = step(q1, q2, q3)
-            dep = total.astype(jnp.float32) + overflow.astype(jnp.float32)
+            total, overflow, checksum = step(q1, q2, q3)
+            dep = (total.astype(jnp.float32) + overflow.astype(jnp.float32)
+                   + 1e-9 * checksum.astype(jnp.float32))
             return (q1 + 1e-12 * dep, acc + dep)
         _, acc = jax.lax.fori_loop(0, K_CHAIN, body, (q1, jnp.float32(0)))
         return acc
 
     # correctness/overflow sanity + warm-up compile
-    total, overflow = jax.jit(step)(p1, p2, p3)
+    total, overflow, _ = jax.jit(step)(p1, p2, p3)
     n_contacts = int(total)
     if bool(overflow):
         print(json.dumps({"metric": "1M-tri rebuild+self-contact",

@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Profile the 1M rebuild+self-contact pipeline stage by stage on the TPU.
+
+Each stage is timed by chaining K iterations with data dependencies inside
+one jit and fetching a dependent scalar (block_until_ready does not block
+through the tunnel).  Stages are cumulative prefixes of the pipeline, so
+stage_i_ms - stage_{i-1}_ms isolates each component.
+"""
+
+import math
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import implicitbvh_tpu as ib
+from implicitbvh_tpu.traverse import TileTraversal, traverse_tiles_fixed
+from implicitbvh_tpu.traverse.tiles import (
+    _extract_contacts, _phase1_tile_pairs, _tiled_fields)
+from implicitbvh_tpu.ops.tile_contact import tile_pair_contacts
+
+K = 5
+
+
+def timed(fn, *args):
+    """min-of-3 of (one jitted call chained K times) via scalar fetch."""
+    @jax.jit
+    def chained(*a):
+        def body(i, carry):
+            a0, acc = carry
+            dep = fn(a0, *a[1:])
+            return (a0 + 1e-12 * dep, acc + dep)
+        _, acc = jax.lax.fori_loop(0, K, body, (a[0], jnp.float32(0)))
+        return acc
+    float(chained(*args))  # warm
+    best = float("inf")
+    for t in range(3):
+        args2 = (args[0] * jnp.float32(1.0 + 1e-7 * (t + 1)),) + args[1:]
+        t0 = time.time()
+        float(chained(*args2))
+        best = min(best, (time.time() - t0) / K)
+    return 1000.0 * best
+
+
+def main():
+    n_tri = 1 << int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 20
+    rng = np.random.default_rng(0)
+    scale = float(n_tri) ** (1.0 / 3.0)
+    c = (rng.random((n_tri, 3)) * scale).astype(np.float32)
+    e1 = (rng.random((n_tri, 3)) - 0.5).astype(np.float32) * 0.4
+    e2 = (rng.random((n_tri, 3)) - 0.5).astype(np.float32) * 0.4
+    p1, p2, p3 = jnp.asarray(c), jnp.asarray(c + e1), jnp.asarray(c + e2)
+
+    G = 128
+    T = -(-n_tri // G)
+    pair_capacity = max(((T * 36 + 8191) // 8192) * 8192, 8192)
+    capacity = max(1 << math.ceil(math.log2(n_tri)) - 2, 4096)
+    alg = TileTraversal(row_cap=4, pair_cap=32)
+
+    def s_volumes(q1, q2, q3):
+        s = ib.bsphere_from_triangles(q1, q2, q3)
+        return s.xs[0].sum() + s.r.sum()
+
+    def s_build(q1, q2, q3):
+        s = ib.bsphere_from_triangles(q1, q2, q3)
+        bvh = ib.build(s, ib.BBox)
+        return bvh.nodes.los[0].sum() + bvh.leaves.volume.xs[0][0]
+
+    def s_phase1(q1, q2, q3):
+        s = ib.bsphere_from_triangles(q1, q2, q3)
+        bvh = ib.build(s, ib.BBox)
+        fields, sphere, tile_lo, tile_up, T_ = _tiled_fields(bvh, G)
+        packed, npairs = _phase1_tile_pairs(tile_lo, tile_up, G, pair_capacity)
+        return packed.sum().astype(jnp.float32) + npairs.astype(jnp.float32)
+
+    def s_kernel(q1, q2, q3):
+        s = ib.bsphere_from_triangles(q1, q2, q3)
+        bvh = ib.build(s, ib.BBox)
+        fields, sphere, tile_lo, tile_up, T_ = _tiled_fields(bvh, G)
+        packed, npairs = _phase1_tile_pairs(tile_lo, tile_up, G, pair_capacity)
+        dep = jnp.float32(0)
+        CHUNK = 1 << 17
+        for start in range(0, pair_capacity, CHUNK):
+            sub = packed[start:start + CHUNK]
+            np_c = jnp.clip(npairs - start, 0, sub.shape[0])
+            gi_c, gj_c, cnt_c, ov_c = tile_pair_contacts(
+                sub, np_c.reshape(1).astype(jnp.int32), fields,
+                mask_kind="sphere", G=G, ROW_CAP=alg.row_cap,
+                CAP_PAIR=alg.pair_cap, n_real=n_tri)
+            dep += cnt_c.sum().astype(jnp.float32) + gi_c[0, 0] + gj_c[0, 0]
+        return dep
+
+    def s_full(q1, q2, q3):
+        s = ib.bsphere_from_triangles(q1, q2, q3)
+        bvh = ib.build(s, ib.BBox)
+        total, contacts, overflow = traverse_tiles_fixed(
+            bvh, capacity, alg=alg, pair_capacity=pair_capacity)
+        return (total.astype(jnp.float32) +
+                1e-9 * contacts.sum(dtype=jnp.int32).astype(jnp.float32))
+
+    stages = [("volumes", s_volumes), ("build", s_build),
+              ("phase1", s_phase1), ("kernel", s_kernel), ("full", s_full)]
+    prev = 0.0
+    for name, fn in stages:
+        ms = timed(fn, p1, p2, p3)
+        print(f"{name:10s} cumulative {ms:8.2f} ms   delta {ms - prev:8.2f} ms",
+              flush=True)
+        prev = ms
+
+
+if __name__ == "__main__":
+    main()
