@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 import implicitbvh_tpu as ib
 from implicitbvh_tpu.traverse import TileTraversal, traverse_tiles_fixed
+from implicitbvh_tpu.traverse.tiles import _pair_capacity_for
 
 
 TARGET_MS = 10.0
@@ -51,7 +52,7 @@ def main():
 
     G = 128
     T = -(-n_tri // G)
-    pair_capacity = max(((T * 36 + 8191) // 8192) * 8192, 8192)
+    pair_capacity = _pair_capacity_for(T)
     # right-sized contact capacity (~3.7x the measured 71.7k contacts at 1M;
     # overflow is checked and reported) — extraction cost scales with it
     capacity = max(1 << math.ceil(math.log2(n_tri)) - 2, 4096)

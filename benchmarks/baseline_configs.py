@@ -69,12 +69,12 @@ def config2():
     @jax.jit
     def step(p1, p2, p3):
         bvh = ib.build(ib.bsphere_from_triangles(p1, p2, p3), ib.BBox)
-        total, _, _ = traverse_tiles_fixed(bvh, 1 << 18,
-                                           alg=TileTraversal(row_cap=8,
-                                                             pair_cap=64))
-        return total
+        total, contacts, _ = traverse_tiles_fixed(
+            bvh, 1 << 18, alg=TileTraversal(row_cap=8, pair_cap=64))
+        # returning the checksum keeps extraction from being DCE'd
+        return total, contacts.sum(dtype=jnp.int32)
 
-    dt, total = timed_fetch(step, p1, p2, p3)
+    dt, (total, _) = timed_fetch(step, p1, p2, p3)
     print(f"config2 {n}-tri self-contact: {1000*dt:.2f} ms, "
           f"{int(total)} contacts")
 
@@ -93,11 +93,11 @@ def config3():
 
         @jax.jit
         def rays_tiles(p, d):
-            total, _, ov = traverse_rays_tiles_fixed(bvh, p, d,
-                                                     capacity=1 << 20)
-            return total, ov
+            total, contacts, ov = traverse_rays_tiles_fixed(bvh, p, d,
+                                                            capacity=1 << 20)
+            return total, ov, contacts.sum(dtype=jnp.int32)
 
-        dt, (total, ov) = timed_fetch(rays_tiles, p, d)
+        dt, (total, ov, _) = timed_fetch(rays_tiles, p, d)
         warn = "  WARNING: overflow" if bool(ov) else ""
         print(f"config3 {nrays} rays vs {n} BVs (tile path): "
               f"{1000*dt:.2f} ms, {int(total)} hits{warn}")
@@ -109,10 +109,10 @@ def config3():
 
     @jax.jit
     def rays_walk(p, d):
-        total, _ = traverse_rays_fixed(bvh, p, d, capacity=1 << 20)
-        return total
+        total, contacts = traverse_rays_fixed(bvh, p, d, capacity=1 << 20)
+        return total, contacts.sum(dtype=jnp.int32)
 
-    dt, total = timed_fetch(rays_walk, p, d)
+    dt, (total, _) = timed_fetch(rays_walk, p, d)
     print(f"config3 {nrays} rays vs {n} BVs (LVT walk): {1000*dt:.2f} ms, "
           f"{int(total)} hits")
 
@@ -126,10 +126,10 @@ def config4():
     def pair(a1, a2, a3, b1, b2, b3):
         bvh1 = ib.build(ib.bsphere_from_triangles(a1, a2, a3), ib.BBox)
         bvh2 = ib.build(ib.bsphere_from_triangles(b1, b2, b3), ib.BBox)
-        total, _, _ = traverse_tiles_pair_fixed(bvh1, bvh2, 1 << 17)
-        return total
+        total, contacts, _ = traverse_tiles_pair_fixed(bvh1, bvh2, 1 << 17)
+        return total, contacts.sum(dtype=jnp.int32)
 
-    dt, total = timed_fetch(pair, a1, a2, a3, b1, b2, b3)
+    dt, (total, _) = timed_fetch(pair, a1, a2, a3, b1, b2, b3)
     print(f"config4 pair {n1}x{n2} (tile path): {1000*dt:.2f} ms, "
           f"{int(total)} contacts")
 
@@ -138,11 +138,12 @@ def config4():
         bvh1 = ib.build(ib.bsphere_from_triangles(a1, a2, a3), ib.BBox,
                         built_level=2)
         bvh2 = ib.build(ib.bsphere_from_triangles(b1, b2, b3), ib.BBox)
-        total, _ = traverse_lvt_pair_fixed(bvh1, bvh2, capacity=1 << 18,
-                                           start_level1=2)
-        return total
+        total, contacts = traverse_lvt_pair_fixed(bvh1, bvh2,
+                                                  capacity=1 << 18,
+                                                  start_level1=2)
+        return total, contacts.sum(dtype=jnp.int32)
 
-    dt, total = timed_fetch(pair_lvt, a1, a2, a3, b1, b2, b3)
+    dt, (total, _) = timed_fetch(pair_lvt, a1, a2, a3, b1, b2, b3)
     print(f"config4 pair {n1}x{n2} (LVT walk, built_level=2): "
           f"{1000*dt:.2f} ms, {int(total)} contacts")
 
@@ -158,16 +159,17 @@ def config5():
     @jax.jit
     def step(x, r):
         bvh = ib.build(ib.BSphere(x, r), ib.BBox)
-        total, _, overflow = traverse_tiles_fixed(bvh, 1 << 22,
-                                                  alg=TileTraversal())
-        return x + v, total, overflow  # move particles for the next step
+        total, contacts, overflow = traverse_tiles_fixed(
+            bvh, 1 << 18, alg=TileTraversal())
+        checksum = contacts.sum(dtype=jnp.int32)
+        return x + v, total, overflow, checksum  # checksum defeats DCE
 
-    (x2, total, overflow) = step(x, r)
+    (x2, total, overflow, _) = step(x, r)
     float(total)
     t0 = time.time()
     for _ in range(3):
-        x2, total, overflow = step(x2, r)
-    float(total)
+        x2, total, overflow, checksum = step(x2, r)
+    float(total), float(checksum)
     dt = (time.time() - t0) / 3
     suffix = "  WARNING: capacity overflow, counts truncated" \
         if bool(overflow) else ""
@@ -175,8 +177,51 @@ def config5():
           f"{1000*dt:.2f} ms, {int(total)} contacts{suffix}")
 
 
+def config6():
+    """Per-algorithm self-contact comparison on one scene (VERDICT #5):
+    the dense-tile engine vs the stackless LVT walk vs BFS frontiers."""
+    from implicitbvh_tpu.traverse.lvt import traverse_lvt_single_fixed
+    from implicitbvh_tpu.traverse.bfs import bfs_single_fixed
+
+    n = 1 << 13 if ON_CPU else 1 << 16
+    p1, p2, p3 = tri_soup(n)
+    bvh = ib.build(ib.bsphere_from_triangles(p1, p2, p3), ib.BBox)
+
+    @jax.jit
+    def t_tiles(p1, p2, p3):
+        b = ib.build(ib.bsphere_from_triangles(p1, p2, p3), ib.BBox)
+        total, contacts, _ = traverse_tiles_fixed(
+            b, 1 << 16, alg=TileTraversal(row_cap=8, pair_cap=64))
+        return total, contacts.sum(dtype=jnp.int32)
+
+    @jax.jit
+    def t_lvt(p1, p2, p3):
+        b = ib.build(ib.bsphere_from_triangles(p1, p2, p3), ib.BBox)
+        total, contacts = traverse_lvt_single_fixed(b, 1 << 16)
+        return total, contacts.sum(dtype=jnp.int32)
+
+    @jax.jit
+    def t_bfs(p1, p2, p3):
+        b = ib.build(ib.bsphere_from_triangles(p1, p2, p3), ib.BBox)
+        sl = max(b.tree.levels // 2, b.built_level)
+        total, contacts, _, ov = bfs_single_fixed(b, sl, 1 << 21)
+        return total, ov, contacts.sum(dtype=jnp.int32)
+
+    dt, (total, _) = timed_fetch(t_tiles, p1, p2, p3)
+    print(f"config6 {n} self-contact [tiles]: {1000*dt:.2f} ms, "
+          f"{int(total)} contacts")
+    dt, (total, _) = timed_fetch(t_lvt, p1, p2, p3)
+    print(f"config6 {n} self-contact [LVT walk]: {1000*dt:.2f} ms, "
+          f"{int(total)} contacts")
+    dt, (total, ov, _) = timed_fetch(t_bfs, p1, p2, p3)
+    warn = "  WARNING: overflow" if bool(ov) else ""
+    print(f"config6 {n} self-contact [BFS]: {1000*dt:.2f} ms, "
+          f"{int(total)} contacts{warn}")
+
+
 if __name__ == "__main__":
-    configs = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
+    configs = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5,
+               6: config6}
     picks = [int(a) for a in sys.argv[1:]] or sorted(configs)
     for k in picks:
         configs[k]()

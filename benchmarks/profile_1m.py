@@ -17,9 +17,10 @@ import jax.numpy as jnp
 
 import implicitbvh_tpu as ib
 from implicitbvh_tpu.traverse import TileTraversal, traverse_tiles_fixed
+from implicitbvh_tpu.traverse.tiles import _pair_capacity_for
 from implicitbvh_tpu.traverse.tiles import (
-    _extract_contacts, _phase1_tile_pairs, _tiled_fields)
-from implicitbvh_tpu.ops.tile_contact import tile_pair_contacts
+    _extract_contacts, _group_pairs, _phase1_tile_pairs, _tiled_fields)
+from implicitbvh_tpu.ops.tile_contact import tile_group_contacts
 
 K = 5
 
@@ -55,7 +56,7 @@ def main():
 
     G = 128
     T = -(-n_tri // G)
-    pair_capacity = max(((T * 36 + 8191) // 8192) * 8192, 8192)
+    pair_capacity = _pair_capacity_for(T)
     capacity = max(1 << math.ceil(math.log2(n_tri)) - 2, 4096)
     alg = TileTraversal(row_cap=4, pair_cap=32)
 
@@ -68,28 +69,36 @@ def main():
         bvh = ib.build(s, ib.BBox)
         return bvh.nodes.los[0].sum() + bvh.leaves.volume.xs[0][0]
 
+    W = 8
+    CHUNK = 1 << 14
+    T_tiles = -(-n_tri // G)
+    S_cap = -(-(pair_capacity // W + T_tiles) // CHUNK) * CHUNK
+
     def s_phase1(q1, q2, q3):
         s = ib.bsphere_from_triangles(q1, q2, q3)
         bvh = ib.build(s, ib.BBox)
         fields, sphere, tile_lo, tile_up, T_ = _tiled_fields(bvh, G)
         packed, npairs = _phase1_tile_pairs(tile_lo, tile_up, G, pair_capacity)
-        return packed.sum().astype(jnp.float32) + npairs.astype(jnp.float32)
+        a_idx, b_idx, nsteps = _group_pairs(packed, npairs, W, S_cap, T_)
+        return (a_idx.sum().astype(jnp.float32) + b_idx[0] +
+                nsteps.astype(jnp.float32))
 
     def s_kernel(q1, q2, q3):
         s = ib.bsphere_from_triangles(q1, q2, q3)
         bvh = ib.build(s, ib.BBox)
         fields, sphere, tile_lo, tile_up, T_ = _tiled_fields(bvh, G)
         packed, npairs = _phase1_tile_pairs(tile_lo, tile_up, G, pair_capacity)
+        a_idx, b_idx, nsteps = _group_pairs(packed, npairs, W, S_cap, T_)
         dep = jnp.float32(0)
-        CHUNK = 1 << 17
-        for start in range(0, pair_capacity, CHUNK):
-            sub = packed[start:start + CHUNK]
-            np_c = jnp.clip(npairs - start, 0, sub.shape[0])
-            gi_c, gj_c, cnt_c, ov_c = tile_pair_contacts(
-                sub, np_c.reshape(1).astype(jnp.int32), fields,
-                mask_kind="sphere", G=G, ROW_CAP=alg.row_cap,
-                CAP_PAIR=alg.pair_cap, n_real=n_tri)
-            dep += cnt_c.sum().astype(jnp.float32) + gi_c[0, 0] + gj_c[0, 0]
+        for start in range(0, S_cap, CHUNK):
+            ns_c = jnp.clip(nsteps - start, 0, CHUNK)
+            gi_c, gj_c, cnt_c, ov_c = tile_group_contacts(
+                a_idx[start:start + CHUNK],
+                b_idx[start * W:(start + CHUNK) * W],
+                ns_c.reshape(1).astype(jnp.int32), fields,
+                mask_kind="sphere", G=G, W=W, ROW_CAP=alg.row_cap,
+                CAP_PAIR=alg.pair_cap, dedup=True)
+            dep += cnt_c.sum().astype(jnp.float32)
         return dep
 
     def s_full(q1, q2, q3):

@@ -7,9 +7,10 @@ scan/compaction-based traversal, and ``jax.sharding`` multi-chip scaling.
 """
 
 from .options import BVHOptions, DEFAULT_OPTIONS
-from .morton import (DefaultMortonAlgorithm, MortonAlgorithm, morton_encode,
-                     morton_encode_single, morton_split3,
-                     bounding_volumes_extrema)
+from .morton import (DefaultMortonAlgorithm, ExtendedMortonAlgorithm,
+                     MortonAlgorithm, morton_encode,
+                     morton_encode_extended, morton_encode_single,
+                     morton_split3, bounding_volumes_extrema)
 from .tree import ImplicitTree, compute_skips
 from .volumes import (BBox, BSphere, bbox_from_triangles,
                       bsphere_from_triangles, center, from_triangles,
@@ -32,7 +33,8 @@ __all__ = [
     "traverse_rays_tiles", "traverse_rays_tiles_fixed",
     "traverse_lvt_single_fixed", "traverse_lvt_pair_fixed",
     "BVH", "BVHOptions", "DEFAULT_OPTIONS", "BoundingVolume", "Leaves",
-    "ImplicitTree", "DefaultMortonAlgorithm", "MortonAlgorithm",
+    "ImplicitTree", "DefaultMortonAlgorithm", "ExtendedMortonAlgorithm",
+    "MortonAlgorithm", "morton_encode_extended",
     "BBox", "BSphere",
     "build", "compute_build_level", "compute_skips",
     "bbox_from_triangles", "bsphere_from_triangles", "from_triangles",

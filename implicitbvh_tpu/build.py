@@ -26,7 +26,8 @@ from typing import Any, NamedTuple, Optional, Tuple, Union
 import jax
 import jax.numpy as jnp
 
-from .morton import DefaultMortonAlgorithm, morton_encode
+from .morton import (DefaultMortonAlgorithm, ExtendedMortonAlgorithm,
+                     morton_encode, morton_encode_extended)
 from .options import DEFAULT_OPTIONS, BVHOptions
 from .tree import ImplicitTree, compute_skips
 from .volumes import (BBox, BSphere, Volume, center_coords, convert_volume,
@@ -314,9 +315,12 @@ def build(bounding_volumes: Union[Volume, Leaves],
     built_ilevel = compute_build_level(tree, built_level)
 
     alg = options.morton
-    if not isinstance(alg, DefaultMortonAlgorithm):
+    if isinstance(alg, ExtendedMortonAlgorithm):
+        morton = morton_encode_extended(leaves.volume, alg)
+    elif isinstance(alg, DefaultMortonAlgorithm):
+        morton = morton_encode(center_coords(leaves.volume), alg)
+    else:
         raise TypeError(f"unsupported morton algorithm {alg}")
-    morton = morton_encode(center_coords(leaves.volume), alg)
     leaves = Leaves(leaves.volume, leaves.index, morton)
     leaves = _sort_by_morton(leaves)
 

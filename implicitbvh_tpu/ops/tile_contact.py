@@ -48,6 +48,11 @@ def _lane_cumsum(x):
     return x
 
 
+# Scoped-VMEM budget for the kernels: the default 16 MB limit rejects the
+# growth-enlarged slot caps (CAP_PAIR=1024/ROW_CAP=32 needs ~19 MB of
+# compaction scratch); the physical VMEM is far larger.
+_VMEM_LIMIT = 64 * 1024 * 1024
+
 MASK_FIELD_COUNTS = {
     # mask_kind -> (a-side field count, b-side field count)
     "sphere": (4, 4),        # spheres vs spheres: (x0, x1, x2, r)
@@ -58,7 +63,7 @@ MASK_FIELD_COUNTS = {
 
 
 def _pair_kernel(mask_kind: str, G: int, ROW_CAP: int, CAP_PAIR: int,
-                 n_real: int, n_real_b: int, dedup: bool, B: int,
+                 dedup: bool, B: int,
                  pk_ref, npairs_ref,   # scalar prefetch (packed ti<<16|tj)
                  *refs):
     """B tile pairs per grid step (amortizes per-step fixed costs).
@@ -66,8 +71,9 @@ def _pair_kernel(mask_kind: str, G: int, ROW_CAP: int, CAP_PAIR: int,
     refs layout: for each pair slot b: Fa a-side blocks; then for each b: Fb
     b-side blocks; then out_gi, out_gj, out_meta with per-slot rows
     (blocks (1, B, CAP_PAIR) / (1, B, 128)).  (Fa, Fb) per MASK_FIELD_COUNTS.
+    Leaf validity is encoded in the data: padded leaves carry NaN fields,
+    whose predicate comparisons are always false.
     """
-    Fa, Fb = MASK_FIELD_COUNTS[mask_kind]
     out_gi, out_gj, out_meta = refs[2 * B:]
 
     p = pl.program_id(0)
@@ -76,8 +82,8 @@ def _pair_kernel(mask_kind: str, G: int, ROW_CAP: int, CAP_PAIR: int,
         # slot: a single large DMA instead of F small ones (the kernel is
         # DMA-issue-bound at ~130 ns per issued copy, so per-field blocks
         # cost ~1.3 us/pair; packed blocks cut that ~5x)
-        a = [refs[bslot][0, k, :] for k in range(Fa)]
-        b = [refs[B + bslot][0, k, :] for k in range(Fb)]
+        a_blk = refs[bslot][0]
+        b_blk = refs[B + bslot][0]
         idx = p * B + bslot
         # mask after the arithmetic shift: packed values with ti >= 32768
         # are negative in int32 and would otherwise sign-extend
@@ -92,13 +98,22 @@ def _pair_kernel(mask_kind: str, G: int, ROW_CAP: int, CAP_PAIR: int,
             out_meta[0, bslot, :] = jnp.zeros((128,), jnp.float32)
 
         @pl.when(pair_valid)
-        def _(bslot=bslot, ti=ti, tj=tj, a=a, b=b):
-            _pair_body(mask_kind, G, ROW_CAP, CAP_PAIR, n_real,
-                       n_real_b, dedup, ti, tj, a, b, out_gi, out_gj,
+        def _(bslot=bslot, ti=ti, tj=tj, a_blk=a_blk, b_blk=b_blk):
+            _pair_body(mask_kind, G, ROW_CAP, CAP_PAIR,
+                       dedup, ti, tj, a_blk, b_blk, out_gi, out_gj,
                        out_meta, bslot)
 
 
-def _mask_sphere(a, b):
+def _mask_sphere(a_blk, b_blk):
+    """Exact sphere-sphere contact mask: dist3sq <= (r1+r2)^2 with the
+    reference's term order (ref src/bounding_volumes/iscontact.jl:1-10).
+
+    Note: an MXU distance-matrix form (|a|^2+|b|^2-2a.b with the cross term
+    as a dim-0/dim-0 contraction) was measured SLOWER here — per-pair
+    (8,G)x(8,G) matmuls are launch-overhead-bound (DEFAULT +20%, HIGHEST
+    +35% on the 1M benchmark) — so the direct VPU form stays."""
+    a = [a_blk[k] for k in range(4)]
+    b = [b_blk[k] for k in range(4)]
     dx = a[0][:, None] - b[0][None, :]
     dy = a[1][:, None] - b[1][None, :]
     dz = a[2][:, None] - b[2][None, :]
@@ -106,18 +121,23 @@ def _mask_sphere(a, b):
     return dx * dx + dy * dy + dz * dz <= rr * rr
 
 
-def _mask_box(a, b):
+def _mask_box(a_blk, b_blk):
+    a = [a_blk[k] for k in range(6)]
+    b = [b_blk[k] for k in range(6)]
     mask = (a[3][:, None] >= b[0][None, :]) & (a[0][:, None] <= b[3][None, :])
     mask &= (a[4][:, None] >= b[1][None, :]) & (a[1][:, None] <= b[4][None, :])
     mask &= (a[5][:, None] >= b[2][None, :]) & (a[2][:, None] <= b[5][None, :])
     return mask
 
 
-def _mask_ray_box(a, b):
+def _mask_ray_box(a_blk, b_blk):
     """Rays on sublanes (a = p0, p1, p2, d0, d1, d2) vs box leaves on lanes
     (b = lo0, lo1, lo2, up0, up1, up2): forward slab test, replicating
     volumes.isintersection exactly (where-select min/max for the reference's
     NaN asymmetry, ref src/bounding_volumes/isintersection.jl:1-40)."""
+    a = [a_blk[k] for k in range(6)]
+    b = [b_blk[k] for k in range(6)]
+
     def min2(x, y):
         return jnp.where(x < y, x, y)
 
@@ -138,9 +158,11 @@ def _mask_ray_box(a, b):
     return (tmin <= tmax) & (tmax >= 0)
 
 
-def _mask_ray_sphere(a, b):
+def _mask_ray_sphere(a_blk, b_blk):
     """Rays on sublanes vs sphere leaves on lanes (b = x0, x1, x2, r):
     quadratic-discriminant forward test (ref isintersection.jl:42-65)."""
+    a = [a_blk[k] for k in range(6)]
+    b = [b_blk[k] for k in range(4)]
     qa = (a[3] * a[3] + a[4] * a[4] + a[5] * a[5])[:, None]
     po0 = a[0][:, None] - b[0][None, :]
     po1 = a[1][:, None] - b[1][None, :]
@@ -160,8 +182,8 @@ _MASK_FNS = {
 }
 
 
-def _pair_body(mask_kind, G, ROW_CAP, CAP_PAIR, n_real,
-               n_real_b, dedup, ti, tj, a, b, out_gi, out_gj, out_meta,
+def _pair_body(mask_kind, G, ROW_CAP, CAP_PAIR,
+               dedup, ti, tj, a_blk, b_blk, out_gi, out_gj, out_meta,
                row):
     lane = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
     sub = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
@@ -169,12 +191,11 @@ def _pair_body(mask_kind, G, ROW_CAP, CAP_PAIR, n_real,
     gi = ti * G + sub          # global sorted positions (0-based), (G, G)
     gj = tj * G + lane
 
-    # --- contact mask -----------------------------------------------------
-    mask = _MASK_FNS[mask_kind](a, b)
+    # --- contact mask (padded leaves carry NaN fields -> always false) ----
+    mask = _MASK_FNS[mask_kind](a_blk, b_blk)
 
-    # validity: real leaves only; for self-contact additionally dedup to
-    # j > i in global sorted order (two-BVH traversal keeps the full grid)
-    mask &= (gi < n_real) & (gj < n_real_b)
+    # self-contact dedup: j > i in global sorted order (two-BVH traversal
+    # keeps the full grid)
     if dedup:
         mask &= gj > gi
 
@@ -267,12 +288,12 @@ def _pair_compact(G, ROW_CAP, CAP_PAIR, ti, tj, mi, gj, total, meta_lane,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mask_kind", "G", "ROW_CAP", "CAP_PAIR", "n_real",
-                     "n_real_b", "dedup", "interpret", "batch"))
+    static_argnames=("mask_kind", "G", "ROW_CAP", "CAP_PAIR",
+                     "dedup", "interpret", "batch"))
 def tile_pair_contacts(packed, npairs, a_fields, b_fields=None, *,
                        mask_kind: str,
                        G: int, ROW_CAP: int = 4, CAP_PAIR: int = 16,
-                       n_real: int, n_real_b: int = None, dedup: bool = True,
+                       dedup: bool = True,
                        interpret: bool = False,
                        batch: int = 8):
     """Run the tile-contact kernel.
@@ -293,8 +314,6 @@ def tile_pair_contacts(packed, npairs, a_fields, b_fields=None, *,
     P_cap = packed.shape[0]
     if b_fields is None:
         b_fields = a_fields
-    if n_real_b is None:
-        n_real_b = n_real
     Fa, Fb = MASK_FIELD_COUNTS[mask_kind]
     assert len(a_fields) == Fa and len(b_fields) == Fb, \
         (mask_kind, len(a_fields), len(b_fields))
@@ -346,7 +365,7 @@ def tile_pair_contacts(packed, npairs, a_fields, b_fields=None, *,
     )
 
     kernel = functools.partial(_pair_kernel, mask_kind, G, ROW_CAP,
-                               CAP_PAIR, n_real, n_real_b, dedup, B)
+                               CAP_PAIR, dedup, B)
     gi, gj, meta = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -355,6 +374,8 @@ def tile_pair_contacts(packed, npairs, a_fields, b_fields=None, *,
             jax.ShapeDtypeStruct((steps, B, CAP_PAIR), jnp.float32),
             jax.ShapeDtypeStruct((steps, B, 128), jnp.float32),
         ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(packed, npairs, *([a_packed] * B), *([b_packed] * B))
     counts = meta[:, :, 0].astype(jnp.int32).reshape(P_cap)
@@ -382,7 +403,6 @@ def _group_kernel(mask_kind: str, G: int, W: int, ROW_CAP: int,
     refs: a block (1, 8, G); W b blocks (1, 8, G); out_gi, out_gj, out_meta
     with (1, W, CAP_PAIR) / (1, W, 128) blocks.
     """
-    Fa, Fb = MASK_FIELD_COUNTS[mask_kind]
     aref = refs[0]
     brefs = refs[1:1 + W]
     out_gi, out_gj, out_meta = refs[1 + W:]
@@ -396,11 +416,10 @@ def _group_kernel(mask_kind: str, G: int, W: int, ROW_CAP: int,
 
     @pl.when(step_valid)
     def _():
-        a = [aref[0, k, :] for k in range(Fa)]
-        bw = [jnp.concatenate(
-            [brefs[w][0, k, :][None, :] for w in range(W)], axis=1)[0]
-            for k in range(Fb)]
-        mask = _MASK_FNS[mask_kind](a, bw)          # (G, W*G)
+        a_blk = aref[0]                             # (8, G)
+        b_wide = jnp.concatenate(
+            [brefs[w][0] for w in range(W)], axis=1)  # (8, W*G)
+        mask = _MASK_FNS[mask_kind](a_blk, b_wide)  # (G, W*G)
 
         ti = ai_ref[s]
         lane = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
@@ -500,6 +519,8 @@ def tile_group_contacts(a_idx, b_idx, nsteps, a_fields, b_fields=None, *,
             jax.ShapeDtypeStruct((S_cap, W, CAP_PAIR), jnp.float32),
             jax.ShapeDtypeStruct((S_cap, W, 128), jnp.float32),
         ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(a_idx, b_idx, nsteps, a_packed, *([b_packed] * W))
     counts = meta[:, :, 0].astype(jnp.int32).reshape(S_cap * W)

@@ -117,8 +117,8 @@ def traverse_rays(bvh: BVH, points, directions,
     ``LVTTraversal()``/``BFSTraversal()``/``TileTraversal()`` to force one.
     """
     if alg is None:
-        import jax
-        alg = TileTraversal() if jax.default_backend() == "tpu" \
+        # any non-CPU backend (incl. the axon TPU plugin) gets the tile path
+        alg = TileTraversal() if jax.default_backend() != "cpu" \
             else LVTTraversal()
     if not (bvh.built_level <= start_level <= bvh.tree.levels):
         raise ValueError(f"invalid start_level {start_level}")
@@ -141,13 +141,18 @@ def traverse_rays(bvh: BVH, points, directions,
         # row_cap=4 is the contact-path default; rays want 8 (see ray_tiles)
         ralg = alg if alg != TileTraversal() else TileTraversal(row_cap=8)
         return traverse_rays_tiles(bvh, points, directions, alg=ralg,
-                                   narrow=narrow, options=options)
+                                   narrow=narrow, cache=cache,
+                                   options=options)
 
     counts = rays_count(bvh, p, d, start_level, narrow)
     offsets = jnp.cumsum(counts) - counts
     total = int(counts.sum())
     need = max(total, options.min_capacity)
-    capacity = 1 << math.ceil(math.log2(need))
+    if cache is not None and cache.cache1.ndim == 2 \
+            and cache.cache1.shape[0] >= need:
+        capacity = cache.cache1.shape[0]   # re-use the compiled capacity
+    else:
+        capacity = 1 << math.ceil(math.log2(need))
     out = rays_write(bvh, p, d, offsets, start_level, capacity, narrow)
     return BVHTraversal(num_contacts=total, cache1=out, cache2=offsets,
                         start_level1=start_level)

@@ -30,7 +30,8 @@ import jax.numpy as jnp
 
 from ..build import BVH
 from ..options import DEFAULT_OPTIONS, BVHOptions
-from ..utils import k2ij_exclusive
+from ..utils import (k2ij_exclusive, leftleft, leftnoop, leftright,
+                     noopleft, noopright, rightleft, rightnoop, rightright)
 from ..volumes import iscontact, isintersection
 from .types import BVHTraversal
 
@@ -143,15 +144,15 @@ def bfs_single_fixed(bvh: BVH, start_level: int, capacity: int, narrow=None):
         # are always real; only i2's right child may be virtual
         # (ref traverse_single_cpu.jl:110-121).
         virt2 = _virt_child(tree, i2, level)
-        l1, r1 = 2 * i1, 2 * i1 + 1
-        l2, r2 = 2 * i2, 2 * i2 + 1
+        ll, lr = leftleft(i1, i2), leftright(i1, i2)
+        rl, rr = rightleft(i1, i2), rightright(i1, i2)
 
         slots = [
             # self (i,i) -> (2i,2i), (2i,2i+1), (2i+1,2i+1); pair -> 4-way
-            (l1, l2, (is_self & self_checks) | hit),
-            (l1, r2, (is_self | hit) & ~virt2),
-            (r1, l2, hit),
-            (r1, r2, (is_self & self_checks & ~virt2) | (hit & ~virt2)),
+            (*ll, (is_self & self_checks) | hit),
+            (*lr, (is_self | hit) & ~virt2),
+            (*rl, hit),
+            (*rr, (is_self & self_checks & ~virt2) | (hit & ~virt2)),
         ]
         i1, i2, n = _expand(slots, capacity, idt)
         num_checks = num_checks + n
@@ -189,10 +190,13 @@ def _bfs_capacity0(n_init: int, num_leaves: int, options: BVHOptions) -> int:
 
 def traverse_bfs_single(bvh: BVH, *, start_level: int, narrow=None,
                         cache=None, options: BVHOptions = DEFAULT_OPTIONS):
-    del cache
     n = bvh.tree.level_nodes(start_level)
     n_init = n * (n + 1) // 2
-    cap0 = _bfs_capacity0(n_init, bvh.num_leaves, options)
+    if cache is not None and getattr(cache, "cache1", None) is not None \
+            and cache.cache1.ndim == 2 and cache.cache1.shape[0] > 0:
+        cap0 = cache.cache1.shape[0]   # re-use the compiled capacity
+    else:
+        cap0 = _bfs_capacity0(n_init, bvh.num_leaves, options)
     total, out, num_checks = _run_with_growth(
         lambda c: bfs_single_fixed(bvh, start_level, c, narrow), cap0, options)
     return BVHTraversal(num_contacts=total, cache1=out,
@@ -245,10 +249,10 @@ def bfs_pair_fixed(bvh1: BVH, bvh2: BVH, sl1: int, sl2: int, capacity: int,
         virt1 = _virt_child(t1, i1, level1)
         virt2 = _virt_child(t2, i2, level2)
         slots = [
-            (2 * i1, 2 * i2, hit),
-            (2 * i1, 2 * i2 + 1, hit & ~virt2),
-            (2 * i1 + 1, 2 * i2, hit & ~virt1),
-            (2 * i1 + 1, 2 * i2 + 1, hit & ~virt1 & ~virt2),
+            (*leftleft(i1, i2), hit),
+            (*leftright(i1, i2), hit & ~virt2),
+            (*rightleft(i1, i2), hit & ~virt1),
+            (*rightright(i1, i2), hit & ~virt1 & ~virt2),
         ]
         i1, i2, n = step(slots, n)
         num_checks = num_checks + n
@@ -262,7 +266,8 @@ def bfs_pair_fixed(bvh1: BVH, bvh2: BVH, sl1: int, sl2: int, capacity: int,
         hit = iscontact(_gather_nodes(bvh1, i1, level1),
                         _gather_nodes(bvh2, i2, level2)) & mask
         virt1 = _virt_child(t1, i1, level1)
-        slots = [(2 * i1, i2, hit), (2 * i1 + 1, i2, hit & ~virt1)]
+        slots = [(*leftnoop(i1, i2), hit),
+                 (*rightnoop(i1, i2), hit & ~virt1)]
         i1, i2, n = step(slots, n)
         num_checks = num_checks + n
         overflow = overflow | (n > capacity)
@@ -274,7 +279,8 @@ def bfs_pair_fixed(bvh1: BVH, bvh2: BVH, sl1: int, sl2: int, capacity: int,
         hit = iscontact(_gather_nodes(bvh1, i1, level1),
                         _gather_nodes(bvh2, i2, level2)) & mask
         virt2 = _virt_child(t2, i2, level2)
-        slots = [(i1, 2 * i2, hit), (i1, 2 * i2 + 1, hit & ~virt2)]
+        slots = [(*noopleft(i1, i2), hit),
+                 (*noopright(i1, i2), hit & ~virt2)]
         i1, i2, n = step(slots, n)
         num_checks = num_checks + n
         overflow = overflow | (n > capacity)
@@ -286,7 +292,8 @@ def bfs_pair_fixed(bvh1: BVH, bvh2: BVH, sl1: int, sl2: int, capacity: int,
         hit = iscontact(_gather_nodes(bvh1, i1, level1),
                         _gather_leaves(bvh2, i2).volume) & mask
         virt1 = _virt_child(t1, i1, level1)
-        slots = [(2 * i1, i2, hit), (2 * i1 + 1, i2, hit & ~virt1)]
+        slots = [(*leftnoop(i1, i2), hit),
+                 (*rightnoop(i1, i2), hit & ~virt1)]
         i1, i2, n = step(slots, n)
         num_checks = num_checks + n
         overflow = overflow | (n > capacity)
@@ -298,7 +305,8 @@ def bfs_pair_fixed(bvh1: BVH, bvh2: BVH, sl1: int, sl2: int, capacity: int,
         hit = iscontact(_gather_leaves(bvh1, i1).volume,
                         _gather_nodes(bvh2, i2, level2)) & mask
         virt2 = _virt_child(t2, i2, level2)
-        slots = [(i1, 2 * i2, hit), (i1, 2 * i2 + 1, hit & ~virt2)]
+        slots = [(*noopleft(i1, i2), hit),
+                 (*noopright(i1, i2), hit & ~virt2)]
         i1, i2, n = step(slots, n)
         num_checks = num_checks + n
         overflow = overflow | (n > capacity)
@@ -312,10 +320,10 @@ def bfs_pair_fixed(bvh1: BVH, bvh2: BVH, sl1: int, sl2: int, capacity: int,
         virt1 = _virt_child(t1, i1, level1)
         virt2 = _virt_child(t2, i2, level2)
         slots = [
-            (2 * i1, 2 * i2, hit),
-            (2 * i1, 2 * i2 + 1, hit & ~virt2),
-            (2 * i1 + 1, 2 * i2, hit & ~virt1),
-            (2 * i1 + 1, 2 * i2 + 1, hit & ~virt1 & ~virt2),
+            (*leftleft(i1, i2), hit),
+            (*leftright(i1, i2), hit & ~virt2),
+            (*rightleft(i1, i2), hit & ~virt1),
+            (*rightright(i1, i2), hit & ~virt1 & ~virt2),
         ]
         i1, i2, n = step(slots, n)
         num_checks = num_checks + n
@@ -339,11 +347,14 @@ def bfs_pair_fixed(bvh1: BVH, bvh2: BVH, sl1: int, sl2: int, capacity: int,
 def traverse_bfs_pair(bvh1: BVH, bvh2: BVH, *, start_level1: int,
                       start_level2: int, narrow=None, cache=None,
                       options: BVHOptions = DEFAULT_OPTIONS):
-    del cache
     n_init = (bvh1.tree.level_nodes(start_level1) *
               bvh2.tree.level_nodes(start_level2))
-    cap0 = _bfs_capacity0(n_init, max(bvh1.num_leaves, bvh2.num_leaves),
-                          options)
+    if cache is not None and getattr(cache, "cache1", None) is not None \
+            and cache.cache1.ndim == 2 and cache.cache1.shape[0] > 0:
+        cap0 = cache.cache1.shape[0]   # re-use the compiled capacity
+    else:
+        cap0 = _bfs_capacity0(n_init, max(bvh1.num_leaves, bvh2.num_leaves),
+                              options)
     total, out, num_checks = _run_with_growth(
         lambda c: bfs_pair_fixed(bvh1, bvh2, start_level1, start_level2, c,
                                  narrow), cap0, options)

@@ -37,8 +37,8 @@ import jax.numpy as jnp
 from ..build import BVH
 from ..morton import DefaultMortonAlgorithm, morton_encode
 from ..options import DEFAULT_OPTIONS, BVHOptions
-from .tiles import TileTraversal, _extract_contacts, \
-    _tiled_fields, _use_interpret
+from .tiles import (RAY_CANDS_PER_RAY_TILE, TileTraversal,
+    _extract_contacts, _grow_alg, _tiled_fields, _use_interpret)
 from .types import BVHTraversal
 
 
@@ -191,7 +191,8 @@ def traverse_rays_tiles_fixed(bvh: BVH, points, directions, capacity: int, *,
     if pair_capacity is None:
         # measured density: ~420 candidate leaf tiles per 128-ray block for
         # fully random rays (growth wrapper covers heavier scenes)
-        pair_capacity = max(((RT * 448 + 8191) // 8192) * 8192, 8192)
+        pair_capacity = max(
+            ((RT * RAY_CANDS_PER_RAY_TILE + 8191) // 8192) * 8192, 8192)
     # each ray tile can leave one partially-filled W-group
     S_cap = -(-(pair_capacity // W + RT) // CHUNK) * CHUNK
     a_idx, b_idx, nsteps = _phase1_ray_tile_groups(
@@ -239,37 +240,57 @@ def traverse_rays_tiles_fixed(bvh: BVH, points, directions, capacity: int, *,
     total, contacts = _extract_contacts(
         leaf_s, ray_s, counts, bvh.leaves.index, narrow_fn, capacity,
         leaf_index_b=iray_map, sort_pairs=False)
-    overflow = pair_overflow | slot_overflow | (total > capacity)
+    # bitmask: bit 0 = a buffer capacity (pair list / contact list) was
+    # exceeded (grow capacities), bit 1 = a kernel slot cap was exceeded
+    # (grow row_cap/pair_cap) — the wrappers grow only what overflowed
+    overflow = (jnp.where(pair_overflow | (total > capacity), 1, 0)
+                | jnp.where(slot_overflow, 2, 0))
     return total, contacts, overflow
 
 
 def traverse_rays_tiles(bvh: BVH, points, directions, *,
                         alg: "TileTraversal" = None, narrow=None,
+                        cache: Optional[BVHTraversal] = None,
                         options: BVHOptions = DEFAULT_OPTIONS
                         ) -> BVHTraversal:
     """Host wrapper with overflow-driven capacity growth (ray tiles)."""
+    from .tiles import _merge_cached_alg
     alg = alg or TileTraversal(row_cap=8)
+    alg = _merge_cached_alg(alg, cache)
     idt = bvh.skips.dtype
     n_rays = int(jnp.asarray(points).shape[1])
     if n_rays == 0 or bvh.tree.real_nodes < 1:
         return BVHTraversal(num_contacts=jnp.zeros((), idt),
                             cache1=jnp.zeros((0, 2), idt),
                             cache2=jnp.zeros((0,), idt), start_level1=1)
-    capacity = max(options.min_capacity, 4 * n_rays)
-    capacity = 1 << math.ceil(math.log2(capacity))
+    if cache is not None and cache.cache1.ndim == 2 \
+            and cache.cache1.shape[0] > 0:
+        capacity = cache.cache1.shape[0]
+    else:
+        capacity = max(options.min_capacity, 4 * n_rays)
+        capacity = 1 << math.ceil(math.log2(capacity))
     RT = -(-n_rays // alg.tile)
-    pair_capacity = max(((RT * 448 + 8191) // 8192) * 8192, 8192)
+    if cache is not None and cache.pair_capacity > 0:
+        pair_capacity = cache.pair_capacity
+    else:
+        pair_capacity = max(
+            ((RT * RAY_CANDS_PER_RAY_TILE + 8191) // 8192) * 8192, 8192)
     for _ in range(8):
         total, contacts, overflow = traverse_rays_tiles_fixed(
             bvh, points, directions, capacity, alg=alg,
             pair_capacity=pair_capacity, narrow=narrow)
-        if not bool(overflow):
+        ov = int(overflow)
+        if ov == 0:
             return BVHTraversal(num_contacts=int(total), cache1=contacts,
-                                cache2=jnp.zeros((0,), idt), start_level1=1)
-        capacity *= 2
-        pair_capacity *= 2
-        alg = TileTraversal(tile=alg.tile,
-                            row_cap=min(4 * alg.row_cap, alg.tile),
-                            pair_cap=min(4 * alg.pair_cap,
-                                         alg.tile * alg.tile))
-    raise RuntimeError("ray tile traversal capacities kept overflowing")
+                                cache2=jnp.zeros((0,), idt), start_level1=1,
+                                pair_capacity=pair_capacity, tile_alg=alg)
+        if ov & 1:
+            capacity *= 2
+            pair_capacity *= 2
+        if ov & 2:
+            alg = _grow_alg(alg)
+    # density beyond the VMEM-bounded slot caps: fall back to the walk
+    from ..raytrace import traverse_rays
+    from .types import LVTTraversal
+    return traverse_rays(bvh, points, directions, LVTTraversal(),
+                         narrow=narrow, options=options)

@@ -52,8 +52,46 @@ class TileTraversal(TraversalAlgorithm):
     pair_cap: int = 16
 
 
+# Capacity heuristics, derived from densities measured on unit-density
+# random scenes (benchmarks/RESULTS.md): ~28-31 overlapping tiles per tile
+# and ~18 overlapping supertiles per supertile; the headroom absorbs scene
+# variation and the wrappers' growth loops cover the rest.
+PAIRS_PER_TILE = 36
+SUPERPAIRS_PER_SUPERTILE = 24
+RAY_CANDS_PER_RAY_TILE = 448   # candidate leaf tiles per 128-ray tile
+# VMEM guards for the growth loop: the kernel's compaction scratch scales
+# with row_cap * G^2 (one-hot planes) and pair_cap * G, so unbounded 4x
+# growth could exceed the ~16 MB VMEM budget in two iterations.  Scenes so
+# dense that one tile pair exceeds these (> MAX_PAIR_CAP contacts within a
+# single 128x128-leaf block) fall back to the LVT walk in the wrappers.
+MAX_ROW_CAP = 32
+MAX_PAIR_CAP = 1024
+
+
+def _pair_capacity_for(num_tiles: int) -> int:
+    return max(((num_tiles * PAIRS_PER_TILE + 8191) // 8192) * 8192, 8192)
+
+
+def _grow_alg(alg: "TileTraversal") -> "TileTraversal":
+    """4x slot-cap growth under the VMEM ceilings."""
+    return TileTraversal(tile=alg.tile,
+                         row_cap=min(4 * alg.row_cap, MAX_ROW_CAP),
+                         pair_cap=min(4 * alg.pair_cap, MAX_PAIR_CAP))
+
+
 def _use_interpret() -> bool:
     return jax.default_backend() == "cpu"
+
+
+def _merge_cached_alg(alg: "TileTraversal", cache) -> "TileTraversal":
+    """Adopt the cache's (possibly growth-enlarged) slot caps so a repeat
+    traversal hits the compiled program instead of re-growing."""
+    prev = getattr(cache, "tile_alg", None) if cache is not None else None
+    if isinstance(prev, TileTraversal) and prev.tile == alg.tile:
+        return TileTraversal(tile=alg.tile,
+                             row_cap=max(alg.row_cap, prev.row_cap),
+                             pair_cap=max(alg.pair_cap, prev.pair_cap))
+    return alg
 
 
 def _overlap(alo, aup, blo, bup, bc=lambda x: x[:, None], br=lambda x: x[None, :]):
@@ -63,12 +101,13 @@ def _overlap(alo, aup, blo, bup, bc=lambda x: x[:, None], br=lambda x: x[None, :
     return ov
 
 
-def _compact_flat(flat, values, cap):
+def _compact_flat(flat, values, cap, pad=0):
     """cumsum+scatter compaction of ``values`` where ``flat``; (out, count)."""
     v = flat.astype(jnp.int32)
     pos = jnp.cumsum(v) - v
     posx = jnp.where(flat, pos, cap)
-    out = jnp.zeros((cap,), values.dtype).at[posx].set(values, mode="drop")
+    out = jnp.full((cap,), pad, values.dtype).at[posx].set(values,
+                                                           mode="drop")
     return out, v.sum()
 
 
@@ -103,7 +142,7 @@ def _phase1_tile_pairs(tile_lo, tile_up, G: int, P_cap: int):
         jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
     # scale with P_cap so the wrapper's growth loop also grows this level
     # (measured: ~18 overlapping supertiles per supertile at unit density)
-    SP_cap = max(S * 24, 1024, P_cap // 64)
+    SP_cap = max(S * SUPERPAIRS_PER_SUPERTILE, 1024, P_cap // 64)
     kA = jnp.arange(S * S, dtype=jnp.int32)
     spacked, nsp = _compact_flat(ovA.reshape(-1), (kA // S) * S * SS + (kA % S) * SS,
                                  SP_cap)
@@ -138,6 +177,44 @@ def _phase1_tile_pairs(tile_lo, tile_up, G: int, P_cap: int):
         P_cap)
     npairs = jnp.where(sp_overflow, P_cap + 1, npairs)  # force overflow signal
     return packed, npairs
+
+
+@partial(jax.jit, static_argnames=("W", "S_cap", "T_pad"))
+def _group_pairs(packed, npairs, W: int, S_cap: int, T_pad: int):
+    """Regroup a packed (ti << 16 | tj) pair list for the grouped wide
+    kernel (ops/tile_contact.tile_group_contacts): sort by (ti, tj) and pack
+    each ti's tj-list W per step, so the kernel fetches the shared a-tile
+    once per step instead of once per pair (the per-pair kernel is
+    DMA-issue-bound).
+
+    Returns ``(a_idx (S_cap,), b_idx (S_cap * W,), nsteps)``; pad b entries
+    point at the NaN pad tile (index ``T_pad``).
+    """
+    P_cap = packed.shape[0]
+    lane = jnp.arange(P_cap, dtype=jnp.int32)
+    valid = lane < npairs
+    # sort as uint32 so (a) ti >= 32768 (negative int32) keeps its order and
+    # (b) the -1 padding sorts last
+    pk_u = jax.lax.bitcast_convert_type(
+        jnp.where(valid, packed, -1), jnp.uint32)
+    (pk_s,) = jax.lax.sort((pk_u,), num_keys=1)
+    pk = jax.lax.bitcast_convert_type(pk_s, jnp.int32)
+    ti = (pk >> 16) & 0xFFFF
+    tj = pk & 0xFFFF
+    prev_ti = jnp.concatenate([jnp.full((1,), -1, jnp.int32), ti[:-1]])
+    is_start = (ti != prev_ti) & valid
+    start = jax.lax.cummax(jnp.where(is_start, lane, -1))
+    pos = lane - start                       # position within my ti-run
+    is_leader = ((pos % W) == 0) & valid     # first pair of each W-group
+    lead_cum = jnp.cumsum(is_leader.astype(jnp.int32))
+    gid = lead_cum - 1                       # W-group id of every pair
+    nsteps = lead_cum[-1]
+    a_dst = jnp.where(is_leader, gid, S_cap)
+    a_idx = jnp.zeros((S_cap,), jnp.int32).at[a_dst].set(ti, mode="drop")
+    b_dst = jnp.where(valid, gid * W + pos % W, S_cap * W)
+    b_idx = jnp.full((S_cap * W,), T_pad, jnp.int32
+                     ).at[b_dst].set(tj, mode="drop")
+    return a_idx, b_idx, nsteps
 
 
 def _tiled_fields(bvh: BVH, G: int):
@@ -253,11 +330,10 @@ def traverse_tiles_fixed(bvh: BVH, capacity: int, *,
     exceeded and results are incomplete — the :func:`traverse_tiles`
     wrapper grows and re-runs.
     """
-    from ..ops.tile_contact import tile_pair_contacts
+    from ..ops.tile_contact import tile_group_contacts
 
     alg = alg or TileTraversal()
     G = alg.tile
-    n = bvh.num_leaves
     if interpret is None:
         interpret = _use_interpret()
 
@@ -265,22 +341,29 @@ def traverse_tiles_fixed(bvh: BVH, capacity: int, *,
     if T >= 1 << 16:
         raise ValueError("tile count exceeds 65536; raise the tile size")
     if pair_capacity is None:
-        pair_capacity = max(((T * 36 + 8191) // 8192) * 8192, 8192)
+        pair_capacity = _pair_capacity_for(T)
     packed, npairs = _phase1_tile_pairs(tile_lo, tile_up, G, pair_capacity)
     pair_overflow = npairs > pair_capacity
 
-    # chunk the pair list so the prefetched indices fit in SMEM (1 MB)
-    CHUNK = 1 << 17
+    # regroup by shared a-tile for the grouped wide kernel; chunk the steps
+    # so the prefetched indices fit in SMEM (1 MB)
+    W = 8
+    CHUNK = 1 << 14
+    S_cap = -(-(pair_capacity // W + T) // CHUNK) * CHUNK
+    a_idx, b_idx, nsteps = _group_pairs(packed, npairs, W, S_cap, T)
+    pair_overflow |= nsteps > S_cap
+
     gi_parts, gj_parts, cnt_parts = [], [], []
     slot_overflow = jnp.zeros((), jnp.bool_)
-    for start in range(0, pair_capacity, CHUNK):
-        sub = packed[start:start + CHUNK]
-        np_c = jnp.clip(npairs - start, 0, sub.shape[0])
-        gi_c, gj_c, cnt_c, ov_c = tile_pair_contacts(
-            sub, np_c.reshape(1).astype(jnp.int32), fields,
-            mask_kind="sphere" if sphere else "box", G=G,
-            ROW_CAP=alg.row_cap,
-            CAP_PAIR=alg.pair_cap, n_real=n, interpret=interpret)
+    for start in range(0, S_cap, CHUNK):
+        ns_c = jnp.clip(nsteps - start, 0, CHUNK)
+        gi_c, gj_c, cnt_c, ov_c = tile_group_contacts(
+            a_idx[start:start + CHUNK],
+            b_idx[start * W:(start + CHUNK) * W],
+            ns_c.reshape(1).astype(jnp.int32), fields,
+            mask_kind="sphere" if sphere else "box", G=G, W=W,
+            ROW_CAP=alg.row_cap, CAP_PAIR=alg.pair_cap,
+            dedup=True, interpret=interpret)
         gi_parts.append(gi_c)
         gj_parts.append(gj_c)
         cnt_parts.append(cnt_c)
@@ -300,38 +383,61 @@ def traverse_tiles_fixed(bvh: BVH, capacity: int, *,
 
     total, contacts = _extract_contacts(
         gi_s, gj_s, counts, bvh.leaves.index, narrow_fn, capacity)
-    overflow = pair_overflow | slot_overflow | (total > capacity)
+    # bitmask: bit 0 = a buffer capacity (pair list / contact list) was
+    # exceeded (grow capacities), bit 1 = a kernel slot cap was exceeded
+    # (grow row_cap/pair_cap) — the wrappers grow only what overflowed
+    overflow = (jnp.where(pair_overflow | (total > capacity), 1, 0)
+                | jnp.where(slot_overflow, 2, 0))
     return total, contacts, overflow
 
 
 def traverse_tiles(bvh: BVH, *, alg: "TileTraversal" = None, narrow=None,
+                   cache: Optional[BVHTraversal] = None,
                    options: BVHOptions = DEFAULT_OPTIONS) -> BVHTraversal:
-    """Host wrapper with overflow-driven capacity growth."""
+    """Host wrapper with overflow-driven capacity growth.
+
+    ``cache``: a previous traversal result; its (compiled) capacities are
+    re-used so moving-geometry loops perform zero new compiles when shapes
+    repeat (the reference's cache-reuse contract, ref traverse.jl:120-145).
+    """
     alg = alg or TileTraversal()
+    alg = _merge_cached_alg(alg, cache)
     idt = bvh.skips.dtype
     if bvh.tree.real_nodes <= 1:
         return BVHTraversal(num_contacts=jnp.zeros((), idt),
                             cache1=jnp.zeros((0, 2), idt),
                             cache2=jnp.zeros((0,), idt), start_level1=1)
-    capacity = max(options.min_capacity, 4 * bvh.num_leaves)
-    capacity = 1 << math.ceil(math.log2(capacity))
-    T = -(-bvh.num_leaves // alg.tile)
-    pair_capacity = max(((T * 36 + 8191) // 8192) * 8192, 8192)
+    if cache is not None and cache.cache1.ndim == 2 \
+            and cache.cache1.shape[0] > 0:
+        capacity = cache.cache1.shape[0]
+    else:
+        capacity = max(options.min_capacity, 4 * bvh.num_leaves)
+        capacity = 1 << math.ceil(math.log2(capacity))
+    if cache is not None and cache.pair_capacity > 0:
+        pair_capacity = cache.pair_capacity
+    else:
+        T = -(-bvh.num_leaves // alg.tile)
+        pair_capacity = _pair_capacity_for(T)
     for _ in range(8):
         total, contacts, overflow = traverse_tiles_fixed(
             bvh, capacity, alg=alg, pair_capacity=pair_capacity,
             narrow=narrow)
-        if not bool(overflow):
+        ov = int(overflow)
+        if ov == 0:
             return BVHTraversal(num_contacts=int(total), cache1=contacts,
-                                cache2=jnp.zeros((0,), idt), start_level1=1)
-        capacity *= 2
-        pair_capacity *= 2
-        # caps grow 4x: dense clusters can need up to tile^2 pair slots
-        alg = TileTraversal(tile=alg.tile, row_cap=min(4 * alg.row_cap,
-                                                       alg.tile),
-                            pair_cap=min(4 * alg.pair_cap,
-                                         alg.tile * alg.tile))
-    raise RuntimeError("tile traversal capacities kept overflowing")
+                                cache2=jnp.zeros((0,), idt), start_level1=1,
+                                pair_capacity=pair_capacity, tile_alg=alg)
+        if ov & 1:                       # buffer capacity overflow
+            capacity *= 2
+            pair_capacity *= 2
+        if ov & 2:                       # kernel slot-cap overflow
+            alg = _grow_alg(alg)
+    # scene too dense for the tile engine's VMEM-bounded slot caps (one
+    # 128x128-leaf block holding > MAX_PAIR_CAP contacts) — the walk engine
+    # handles any density
+    from .api import traverse as _traverse
+    from .types import LVTTraversal
+    return _traverse(bvh, LVTTraversal(), narrow=narrow, options=options)
 
 
 # --------------------------------------------------------------------------
@@ -366,7 +472,8 @@ def _phase1_cross_pairs(tlo1, tup1, tlo2, tup2, G: int, P_cap: int):
 
     # level A: full S1 x S2 supertile overlap grid
     ovA = _overlap(slo1, sup1, slo2, sup2)
-    SP_cap = max(S1 * 24, S2 * 24, 1024, P_cap // 64)
+    SP_cap = max(S1 * SUPERPAIRS_PER_SUPERTILE,
+                 S2 * SUPERPAIRS_PER_SUPERTILE, 1024, P_cap // 64)
     kA = jnp.arange(S1 * S2, dtype=jnp.int32)
     spacked, nsp = _compact_flat(
         ovA.reshape(-1), (kA // S2) * S2 * SS + (kA % S2) * SS, SP_cap)
@@ -428,7 +535,7 @@ def traverse_tiles_pair_fixed(bvh1: BVH, bvh2: BVH, capacity: int, *,
     if max(T1, T2) >= 1 << 16:
         raise ValueError("tile count exceeds 65536; raise the tile size")
     if pair_capacity is None:
-        pair_capacity = max((((T1 + T2) * 18 + 8191) // 8192) * 8192, 8192)
+        pair_capacity = _pair_capacity_for((T1 + T2) // 2)
     packed, npairs = _phase1_cross_pairs(tlo1, tup1, tlo2, tup2, G,
                                          pair_capacity)
     pair_overflow = npairs > pair_capacity
@@ -443,8 +550,7 @@ def traverse_tiles_pair_fixed(bvh1: BVH, bvh2: BVH, capacity: int, *,
             sub, np_c.reshape(1).astype(jnp.int32), f1, f2,
             mask_kind="sphere" if sphere else "box", G=G,
             ROW_CAP=alg.row_cap,
-            CAP_PAIR=alg.pair_cap, n_real=bvh1.num_leaves,
-            n_real_b=bvh2.num_leaves, dedup=False, interpret=interpret)
+            CAP_PAIR=alg.pair_cap, dedup=False, interpret=interpret)
         gi_parts.append(gi_c)
         gj_parts.append(gj_c)
         cnt_parts.append(cnt_c)
@@ -465,34 +571,52 @@ def traverse_tiles_pair_fixed(bvh1: BVH, bvh2: BVH, capacity: int, *,
     total, contacts = _extract_contacts(
         gi_s, gj_s, counts, bvh1.leaves.index, narrow_fn, capacity,
         leaf_index_b=bvh2.leaves.index, sort_pairs=False)
-    overflow = pair_overflow | slot_overflow | (total > capacity)
+    # bitmask: bit 0 = a buffer capacity (pair list / contact list) was
+    # exceeded (grow capacities), bit 1 = a kernel slot cap was exceeded
+    # (grow row_cap/pair_cap) — the wrappers grow only what overflowed
+    overflow = (jnp.where(pair_overflow | (total > capacity), 1, 0)
+                | jnp.where(slot_overflow, 2, 0))
     return total, contacts, overflow
 
 
 def traverse_tiles_pair(bvh1: BVH, bvh2: BVH, *, alg: "TileTraversal" = None,
                         narrow=None,
+                        cache: Optional[BVHTraversal] = None,
                         options: BVHOptions = DEFAULT_OPTIONS
                         ) -> BVHTraversal:
     """Host wrapper with overflow-driven capacity growth (two-BVH)."""
     alg = alg or TileTraversal()
+    alg = _merge_cached_alg(alg, cache)
     idt = bvh1.skips.dtype
-    capacity = max(options.min_capacity,
-                   2 * max(bvh1.num_leaves, bvh2.num_leaves))
-    capacity = 1 << math.ceil(math.log2(capacity))
-    T = (-(-bvh1.num_leaves // alg.tile)) + (-(-bvh2.num_leaves // alg.tile))
-    pair_capacity = max(((T * 18 + 8191) // 8192) * 8192, 8192)
+    if cache is not None and cache.cache1.ndim == 2 \
+            and cache.cache1.shape[0] > 0:
+        capacity = cache.cache1.shape[0]
+    else:
+        capacity = max(options.min_capacity,
+                       2 * max(bvh1.num_leaves, bvh2.num_leaves))
+        capacity = 1 << math.ceil(math.log2(capacity))
+    if cache is not None and cache.pair_capacity > 0:
+        pair_capacity = cache.pair_capacity
+    else:
+        T = (-(-bvh1.num_leaves // alg.tile)) + \
+            (-(-bvh2.num_leaves // alg.tile))
+        pair_capacity = _pair_capacity_for(T // 2)
     for _ in range(8):
         total, contacts, overflow = traverse_tiles_pair_fixed(
             bvh1, bvh2, capacity, alg=alg, pair_capacity=pair_capacity,
             narrow=narrow)
-        if not bool(overflow):
+        ov = int(overflow)
+        if ov == 0:
             return BVHTraversal(num_contacts=int(total), cache1=contacts,
                                 cache2=jnp.zeros((0,), idt), start_level1=1,
-                                start_level2=1)
-        capacity *= 2
-        pair_capacity *= 2
-        alg = TileTraversal(tile=alg.tile, row_cap=min(4 * alg.row_cap,
-                                                       alg.tile),
-                            pair_cap=min(4 * alg.pair_cap,
-                                         alg.tile * alg.tile))
-    raise RuntimeError("tile pair traversal capacities kept overflowing")
+                                start_level2=1, pair_capacity=pair_capacity,
+                                tile_alg=alg)
+        if ov & 1:
+            capacity *= 2
+            pair_capacity *= 2
+        if ov & 2:
+            alg = _grow_alg(alg)
+    from .api import traverse as _traverse
+    from .types import LVTTraversal
+    return _traverse(bvh1, bvh2, LVTTraversal(), narrow=narrow,
+                     options=options)

@@ -53,6 +53,15 @@ class BVHTraversal:
     start_level1: int = dataclasses.field(metadata=dict(static=True), default=1)
     start_level2: int = dataclasses.field(metadata=dict(static=True), default=0)
     num_checks: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # capacity of the intermediate tile-pair list and the effective (possibly
+    # growth-enlarged) tile algorithm (tile traversal only); carried so
+    # ``traverse(..., cache=prev)`` re-uses compiled capacities (the XLA
+    # analogue of the reference's resize!-based buffer reuse,
+    # ref src/traverse/traverse.jl:120-145)
+    pair_capacity: int = dataclasses.field(metadata=dict(static=True),
+                                           default=0)
+    tile_alg: object = dataclasses.field(metadata=dict(static=True),
+                                         default=None)
 
     @property
     def start_level(self) -> int:

@@ -105,21 +105,9 @@ def noopright(i1, i2):
     return i1, i2 * 2 + 1
 
 
-# --------------------------------------------------------------------------
-# 3D scalar math on (..., 3) arrays
-# --------------------------------------------------------------------------
-
-def dot3(x, y):
-    return x[..., 0] * y[..., 0] + x[..., 1] * y[..., 1] + x[..., 2] * y[..., 2]
-
-
-def dist3sq(x, y):
-    d = x - y
-    return d[..., 0] * d[..., 0] + d[..., 1] * d[..., 1] + d[..., 2] * d[..., 2]
-
-
-def dist3(x, y):
-    return jnp.sqrt(dist3sq(x, y))
+# NOTE: the 3D scalar math (dot3/dist3sq/dist3, ref src/utils.jl:160-181)
+# lives in volumes.py in coordinate-tuple SoA form — the TPU layout every
+# consumer uses.  No (..., 3)-array variants are kept here.
 
 
 # --------------------------------------------------------------------------

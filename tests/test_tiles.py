@@ -148,7 +148,7 @@ def test_kernel_decode_high_tile_index():
     packed = jnp.zeros((8,), jnp.int32).at[0].set(pk)
     gi, gj, counts, over = tile_pair_contacts(
         packed, jnp.ones((1,), jnp.int32), (x0, x1, x2, r),
-        mask_kind="sphere", G=G, ROW_CAP=2, CAP_PAIR=G, n_real=T * G,
+        mask_kind="sphere", G=G, ROW_CAP=2, CAP_PAIR=G,
         dedup=False, interpret=True)
     assert int(counts[0]) == G
     assert not bool(over)

@@ -6,9 +6,10 @@ Port of reference test coverage /root/reference/test/runtests.jl:17-120.
 import numpy as np
 import jax.numpy as jnp
 
-from implicitbvh_tpu.utils import (count_trailing_zeros, dist3, dist3sq, dot3,
-                                   floor_ilog2, ilog2_static, k2ij_exclusive,
+from implicitbvh_tpu.utils import (count_trailing_zeros, floor_ilog2,
+                                   ilog2_static, k2ij_exclusive,
                                    k2ij_inclusive, trailing_ones)
+from implicitbvh_tpu.volumes import dist3, dist3sq, dot3
 
 
 def test_ilog2_static():
@@ -43,8 +44,11 @@ def test_ctz_and_trailing_ones():
 
 
 def test_scalar_math():
-    x = jnp.asarray(np.array([[1.0, 2.0, 3.0], [0.5, -1.0, 2.0]]))
-    y = jnp.asarray(np.array([[4.0, 5.0, 6.0], [1.0, 1.0, 1.0]]))
+    # volumes.py keeps these in coordinate-tuple SoA form (TPU layout)
+    x = tuple(jnp.asarray(np.array(v)) for v in ([1.0, 0.5], [2.0, -1.0],
+                                                 [3.0, 2.0]))
+    y = tuple(jnp.asarray(np.array(v)) for v in ([4.0, 1.0], [5.0, 1.0],
+                                                 [6.0, 1.0]))
     np.testing.assert_allclose(np.asarray(dot3(x, y)), [32.0, 1.5])
     np.testing.assert_allclose(np.asarray(dist3sq(x, y)),
                                [27.0, 0.25 + 4.0 + 1.0])
