@@ -91,10 +91,12 @@ def config3():
         p = jnp.asarray((rng.random((3, nrays)) * scale).astype(np.float32))
         d = jnp.asarray((rng.random((3, nrays)) - 0.5).astype(np.float32))
 
+        cap = 1 << 18 if nrays > 10_000 else 1 << 14
+
         @jax.jit
         def rays_tiles(p, d):
             total, contacts, ov = traverse_rays_tiles_fixed(bvh, p, d,
-                                                            capacity=1 << 20)
+                                                            capacity=cap)
             return total, ov, contacts.sum(dtype=jnp.int32)
 
         dt, (total, ov, _) = timed_fetch(rays_tiles, p, d)
@@ -160,7 +162,7 @@ def config5():
     def step(x, r):
         bvh = ib.build(ib.BSphere(x, r), ib.BBox)
         total, contacts, overflow = traverse_tiles_fixed(
-            bvh, 1 << 18, alg=TileTraversal())
+            bvh, 1 << 18, alg=TileTraversal(pair_cap=32))
         checksum = contacts.sum(dtype=jnp.int32)
         return x + v, total, overflow, checksum  # checksum defeats DCE
 

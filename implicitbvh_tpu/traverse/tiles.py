@@ -49,7 +49,7 @@ class TileTraversal(TraversalAlgorithm):
 
     tile: int = 128
     row_cap: int = 4
-    pair_cap: int = 16
+    pair_cap: int = 32   # 16 overflows on 1M unit-density scenes (measured)
 
 
 # Capacity heuristics, derived from densities measured on unit-density
@@ -111,16 +111,26 @@ def _compact_flat(flat, values, cap, pad=0):
     return out, v.sum()
 
 
-@partial(jax.jit, static_argnames=("G", "P_cap"))
-def _phase1_tile_pairs(tile_lo, tile_up, G: int, P_cap: int):
+@partial(jax.jit, static_argnames=("G", "P_cap", "interpret"))
+def _phase1_tile_pairs(tile_lo, tile_up, G: int, P_cap: int,
+                       interpret: Optional[bool] = None):
     """Hierarchical tile-pair extraction -> packed (ti << 16 | tj) pairs.
 
-    A flat T x T overlap matrix would make the compaction scatter the
-    dominant cost at large N (XLA:TPU scatter ~0.6e9 elem/s), so tiles are
-    grouped into supertiles of SS=32: a dense S x S pass extracts
-    overlapping supertile pairs, then only those pairs expand to 32 x 32
-    tile tests — shrinking the scattered element count by ~50x.
+    A flat T x T overlap matrix would make the compaction the dominant cost
+    at large N, so tiles are grouped into supertiles of SS=32: a dense
+    S x S pass extracts overlapping supertile pairs, then only those pairs
+    expand to 32 x 32 tile tests.  TPU specifics (measured at 1M leaves):
+
+    - level-B tile AABBs are fetched as *row gathers* from the (S, SS)
+      reshaped arrays — 12 gathers of SP_cap contiguous 32-slices instead
+      of 12 x SS*SP_cap elementwise gathers (23.9 -> 6.7 ms);
+    - the 6.3M-element survivor compaction runs in the Pallas stream
+      compactor (ops/compaction.py) instead of XLA cumsum+scatter
+      (36.9 -> 11.2 ms), with (ti, tj) as two separate payloads so the
+      values stay f32-exact.
     """
+    if interpret is None:
+        interpret = _use_interpret()
     T = tile_lo[0].shape[0]
     SS = 32
     S = -(-T // SS)
@@ -133,49 +143,62 @@ def _phase1_tile_pairs(tile_lo, tile_up, G: int, P_cap: int):
 
     tl = tuple(padt(c, jnp.inf) for c in tile_lo)
     tu = tuple(padt(c, -jnp.inf) for c in tile_up)
-    sup_lo = tuple(c.reshape(S, SS).min(1) for c in tl)
-    sup_up = tuple(c.reshape(S, SS).max(1) for c in tu)
+    tl2 = tuple(c.reshape(S, SS) for c in tl)
+    tu2 = tuple(c.reshape(S, SS) for c in tu)
+    sup_lo = tuple(c.min(1) for c in tl2)
+    sup_up = tuple(c.max(1) for c in tu2)
 
     # level A: supertile pairs (dense S x S, upper triangle)
     ovA = _overlap(sup_lo, sup_up, sup_lo, sup_up)
     ovA &= jax.lax.broadcasted_iota(jnp.int32, (S, S), 0) <= \
         jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
-    # scale with P_cap so the wrapper's growth loop also grows this level
-    # (measured: ~18 overlapping supertiles per supertile at unit density)
+    # scale with P_cap so the wrapper's growth loop also grows this level;
+    # multiple of 16 so the level-B mask is mega-tile aligned
     SP_cap = max(S * SUPERPAIRS_PER_SUPERTILE, 1024, P_cap // 64)
+    SP_cap = -(-SP_cap // 16) * 16
     kA = jnp.arange(S * S, dtype=jnp.int32)
-    spacked, nsp = _compact_flat(ovA.reshape(-1), (kA // S) * S * SS + (kA % S) * SS,
-                                 SP_cap)
+    spacked, nsp = _compact_flat(ovA.reshape(-1), kA, SP_cap)
     sp_overflow = nsp > SP_cap
-    # spacked entries encode (si * SS) * S... decode tile base indices:
-    si_base = spacked // (S * SS) * SS          # first tile of supertile i
-    sj_base = spacked % (S * SS)                # first tile of supertile j
+    si = spacked // S                            # supertile row (SP_cap,)
+    sj = spacked % S
 
-    # level B: SS x SS tile tests per supertile pair.  Arrays are laid out
-    # (SS_i, SS_j, SP_cap) so the large SP_cap axis is the minor (lane)
-    # dimension — an (SP_cap, SS, SS) layout would pad lanes 32 -> 128.
-    k_in = jnp.arange(SS, dtype=jnp.int32)
-    ti_g = k_in[:, None] + si_base[None, :]      # (SS, SP_cap)
-    tj_g = k_in[:, None] + sj_base[None, :]
-    a_lo = tuple(c[ti_g] for c in tl)            # (SS, SP_cap) gathers
-    a_up = tuple(c[ti_g] for c in tu)
-    b_lo = tuple(c[tj_g] for c in tl)
-    b_up = tuple(c[tj_g] for c in tu)
+    # level B: SS x SS tile tests per supertile pair, laid out
+    # (SP_cap, SS_i, SS_j); tile AABBs arrive as contiguous row gathers
+    a_lo = tuple(c[si] for c in tl2)             # (SP_cap, SS)
+    a_up = tuple(c[si] for c in tu2)
+    b_lo = tuple(c[sj] for c in tl2)
+    b_up = tuple(c[sj] for c in tu2)
     ovB = _overlap(a_lo, a_up, b_lo, b_up,
-                   bc=lambda x: x[:, None, :], br=lambda x: x[None, :, :])
-    tii = ti_g[:, None, :]                       # (SS, 1, SP_cap)
-    tjj = tj_g[None, :, :]                       # (1, SS, SP_cap)
+                   bc=lambda x: x[:, :, None], br=lambda x: x[:, None, :])
+    k_i = jax.lax.broadcasted_iota(jnp.int32, (SP_cap, SS, SS), 1)
+    k_j = jax.lax.broadcasted_iota(jnp.int32, (SP_cap, SS, SS), 2)
+    tii = (si * SS)[:, None, None] + k_i
+    tjj = (sj * SS)[:, None, None] + k_j
     ovB &= tii <= tjj
     ovB &= (tii < T) & (tjj < T)
     sp_lane = jnp.arange(SP_cap, dtype=jnp.int32)
-    ovB &= (sp_lane < nsp)[None, None, :]
+    ovB &= (sp_lane < nsp)[:, None, None]
 
-    packed_val = ((tii << 16) | tjj)
-    packed, npairs = _compact_flat(
-        ovB.reshape(-1), jnp.broadcast_to(packed_val,
-                                          (SS, SS, SP_cap)).reshape(-1),
-        P_cap)
-    npairs = jnp.where(sp_overflow, P_cap + 1, npairs)  # force overflow signal
+    # Compact with the superpair axis MINOR: survivors cluster on dense
+    # (e.g. diagonal) superpairs, so (SP, SS, SS)-major mega-tiles overflow
+    # the compactor's per-tile cap; transposed, every 16384-element
+    # mega-tile mixes all superpairs and densities stay near the mean.
+    # The mask transpose is a 6.3M-pred relayout (cheap); the payload iotas
+    # are rebuilt directly in the transposed layout.
+    ovB_t = jnp.transpose(ovB, (1, 2, 0)).reshape(-1)
+    k_i = jax.lax.broadcasted_iota(jnp.int32, (SS, SS, SP_cap), 0)
+    k_j = jax.lax.broadcasted_iota(jnp.int32, (SS, SS, SP_cap), 1)
+    tii_t = (si * SS)[None, None, :] + k_i
+    tjj_t = (sj * SS)[None, None, :] + k_j
+
+    from ..ops.compaction import finish_compact, tile_compact
+    cap_c = max(1024, P_cap // 192)
+    slots, counts, c_over = tile_compact(
+        ovB_t, (tii_t.reshape(-1), tjj_t.reshape(-1)),
+        cap=cap_c, row_cap=128, interpret=interpret)
+    (out_ti, out_tj), npairs = finish_compact(slots, counts, P_cap)
+    packed = (out_ti << 16) | out_tj
+    npairs = jnp.where(sp_overflow | c_over, P_cap + 1, npairs)
     return packed, npairs
 
 
