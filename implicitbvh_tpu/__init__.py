@@ -17,7 +17,8 @@ from .volumes import (BBox, BSphere, bbox_from_triangles,
                       iscontact, isintersection, merge)
 from .build import (BVH, BoundingVolume, Leaves, build, compute_build_level,
                     wrap_bounding_volumes)
-from .traverse import (BFSTraversal, BVHTraversal, LVTTraversal,
+from .traverse import (BFSTraversal, BVHTraversal, DFSTraversal,
+                       LVTTraversal,
                        TileTraversal, TraversalAlgorithm,
                        default_start_level, traverse,
                        traverse_lvt_pair_fixed, traverse_lvt_single_fixed,
@@ -28,7 +29,8 @@ from .raytrace import traverse_rays, traverse_rays_fixed
 __version__ = "0.1.0"
 
 __all__ = [
-    "BFSTraversal", "BVHTraversal", "LVTTraversal", "TraversalAlgorithm",
+    "BFSTraversal", "BVHTraversal", "DFSTraversal", "LVTTraversal",
+    "TraversalAlgorithm",
     "default_start_level", "traverse", "traverse_rays", "traverse_rays_fixed",
     "traverse_rays_tiles", "traverse_rays_tiles_fixed",
     "traverse_lvt_single_fixed", "traverse_lvt_pair_fixed",

@@ -53,6 +53,14 @@ def _lane_cumsum(x):
 # compaction scratch); the physical VMEM is far larger.
 _VMEM_LIMIT = 64 * 1024 * 1024
 
+def _seg(cap_pair: int) -> int:
+    """Lane offset of one section in the packed output block: gi lives at
+    [0, cap), gj at [seg, seg+cap), meta at [2*seg, 2*seg+128).  The three
+    outputs share ONE block so each grid step issues a single output DMA
+    instead of three (the kernels are DMA-issue-bound at ~130 ns/copy)."""
+    return -(-cap_pair // 128) * 128
+
+
 MASK_FIELD_COUNTS = {
     # mask_kind -> (a-side field count, b-side field count)
     "sphere": (4, 4),        # spheres vs spheres: (x0, x1, x2, r)
@@ -69,12 +77,13 @@ def _pair_kernel(mask_kind: str, G: int, ROW_CAP: int, CAP_PAIR: int,
     """B tile pairs per grid step (amortizes per-step fixed costs).
 
     refs layout: for each pair slot b: Fa a-side blocks; then for each b: Fb
-    b-side blocks; then out_gi, out_gj, out_meta with per-slot rows
-    (blocks (1, B, CAP_PAIR) / (1, B, 128)).  (Fa, Fb) per MASK_FIELD_COUNTS.
+    b-side blocks; then ONE packed output with per-slot rows (blocks
+    (1, B, 2*seg+128), see _seg).  (Fa, Fb) per MASK_FIELD_COUNTS.
     Leaf validity is encoded in the data: padded leaves carry NaN fields,
     whose predicate comparisons are always false.
     """
-    out_gi, out_gj, out_meta = refs[2 * B:]
+    out = refs[2 * B]
+    seg = _seg(CAP_PAIR)
 
     p = pl.program_id(0)
     for bslot in range(B):
@@ -95,13 +104,13 @@ def _pair_kernel(mask_kind: str, G: int, ROW_CAP: int, CAP_PAIR: int,
         # driver-side extraction ignores their garbage slots.
         @pl.when(jnp.logical_not(pair_valid))
         def _(bslot=bslot):
-            out_meta[0, bslot, :] = jnp.zeros((128,), jnp.float32)
+            out[0, bslot, 2 * seg:2 * seg + 128] = jnp.zeros((128,),
+                                                             jnp.float32)
 
         @pl.when(pair_valid)
         def _(bslot=bslot, ti=ti, tj=tj, a_blk=a_blk, b_blk=b_blk):
             _pair_body(mask_kind, G, ROW_CAP, CAP_PAIR,
-                       dedup, ti, tj, a_blk, b_blk, out_gi, out_gj,
-                       out_meta, bslot)
+                       dedup, ti, tj, a_blk, b_blk, out, bslot)
 
 
 def _mask_sphere(a_blk, b_blk):
@@ -183,8 +192,8 @@ _MASK_FNS = {
 
 
 def _pair_body(mask_kind, G, ROW_CAP, CAP_PAIR,
-               dedup, ti, tj, a_blk, b_blk, out_gi, out_gj, out_meta,
-               row):
+               dedup, ti, tj, a_blk, b_blk, out, row):
+    seg = _seg(CAP_PAIR)
     lane = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
     sub = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
 
@@ -207,16 +216,17 @@ def _pair_body(mask_kind, G, ROW_CAP, CAP_PAIR,
     # compaction for them (mask+count is ~1/5 of the per-pair cost).
     @pl.when(total == 0.0)
     def _():
-        out_meta[0, row, :] = jnp.zeros((128,), jnp.float32)
+        out[0, row, 2 * seg:2 * seg + 128] = jnp.zeros((128,), jnp.float32)
 
     @pl.when(total > 0.0)
     def _():
         _pair_compact(G, ROW_CAP, CAP_PAIR, ti, tj, mi, gj, total,
-                      meta_lane, out_gi, out_gj, out_meta, row)
+                      meta_lane, out, row)
 
 
 def _pair_compact(G, ROW_CAP, CAP_PAIR, ti, tj, mi, gj, total, meta_lane,
-                  out_gi, out_gj, out_meta, row):
+                  out, row):
+    seg = _seg(CAP_PAIR)
     lane = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
     sub = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
     # --- in-VMEM two-level compaction --------------------------------------
@@ -271,17 +281,17 @@ def _pair_compact(G, ROW_CAP, CAP_PAIR, ti, tj, mi, gj, total, meta_lane,
         acc_gj = acc_gj + oh_s * jv[s:s + 1, :]
     # sum over i (lanes) with result lane-indexed by k: ones @ acc^T as a
     # dim-1/dim-1 contraction (works for any CAP_PAIR, no transpose)
-    out_gi[0, row, :] = jax.lax.dot_general(
+    out[0, row, 0:CAP_PAIR] = jax.lax.dot_general(
         ones_row, acc_gi, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=f32,
         precision=jax.lax.Precision.HIGHEST)[0, :]
-    out_gj[0, row, :] = jax.lax.dot_general(
+    out[0, row, seg:seg + CAP_PAIR] = jax.lax.dot_general(
         ones_row, acc_gj, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=f32,
         precision=jax.lax.Precision.HIGHEST)[0, :]
 
     over = (total > CAP_PAIR) | jnp.any(row_cnt_lane > ROW_CAP)
-    out_meta[0, row, :] = jnp.where(
+    out[0, row, 2 * seg:2 * seg + 128] = jnp.where(
         meta_lane[0] == 0, total,
         jnp.where(meta_lane[0] == 1, over.astype(f32), 0.0))
 
@@ -353,34 +363,32 @@ def tile_pair_contacts(packed, npairs, a_fields, b_fields=None, *,
     in_specs = ([row_spec(0, b) for b in range(B)] +
                 [row_spec(1, b) for b in range(B)])
 
+    seg = _seg(CAP_PAIR)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(steps,),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, B, CAP_PAIR), lambda p, *_: (p, 0, 0)),
-            pl.BlockSpec((1, B, CAP_PAIR), lambda p, *_: (p, 0, 0)),
-            pl.BlockSpec((1, B, 128), lambda p, *_: (p, 0, 0)),
+            pl.BlockSpec((1, B, 2 * seg + 128), lambda p, *_: (p, 0, 0)),
         ],
     )
 
     kernel = functools.partial(_pair_kernel, mask_kind, G, ROW_CAP,
                                CAP_PAIR, dedup, B)
-    gi, gj, meta = pl.pallas_call(
+    (out,) = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((steps, B, CAP_PAIR), jnp.float32),
-            jax.ShapeDtypeStruct((steps, B, CAP_PAIR), jnp.float32),
-            jax.ShapeDtypeStruct((steps, B, 128), jnp.float32),
+            jax.ShapeDtypeStruct((steps, B, 2 * seg + 128), jnp.float32),
         ],
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(packed, npairs, *([a_packed] * B), *([b_packed] * B))
-    counts = meta[:, :, 0].astype(jnp.int32).reshape(P_cap)
-    over = meta[:, :, 1].sum() > 0
-    return (gi.reshape(P_cap, CAP_PAIR), gj.reshape(P_cap, CAP_PAIR),
+    counts = out[:, :, 2 * seg].astype(jnp.int32).reshape(P_cap)
+    over = out[:, :, 2 * seg + 1].sum() > 0
+    return (out[:, :, 0:CAP_PAIR].reshape(P_cap, CAP_PAIR),
+            out[:, :, seg:seg + CAP_PAIR].reshape(P_cap, CAP_PAIR),
             counts, over)
 
 
@@ -400,19 +408,20 @@ def _group_kernel(mask_kind: str, G: int, W: int, ROW_CAP: int,
     scalar overhead and the a-side DMA W-fold.  Validity is encoded in the
     data: padded tiles/lanes hold NaN fields, whose comparisons are false.
 
-    refs: a block (1, 8, G); W b blocks (1, 8, G); out_gi, out_gj, out_meta
-    with (1, W, CAP_PAIR) / (1, W, 128) blocks.
+    refs: a block (1, 8, G); W b blocks (1, 8, G); ONE packed output with
+    (1, W, 2*seg+128) blocks (see _seg).
     """
     aref = refs[0]
     brefs = refs[1:1 + W]
-    out_gi, out_gj, out_meta = refs[1 + W:]
+    out = refs[1 + W]
+    seg = _seg(CAP_PAIR)
 
     s = pl.program_id(0)
     step_valid = s < nsteps_ref[0]
 
     @pl.when(jnp.logical_not(step_valid))
     def _():
-        out_meta[0, :, :] = jnp.zeros((W, 128), jnp.float32)
+        out[0, :, 2 * seg:2 * seg + 128] = jnp.zeros((W, 128), jnp.float32)
 
     @pl.when(step_valid)
     def _():
@@ -440,12 +449,13 @@ def _group_kernel(mask_kind: str, G: int, W: int, ROW_CAP: int,
 
             @pl.when(total == 0.0)
             def _(w=w):
-                out_meta[0, w, :] = jnp.zeros((128,), jnp.float32)
+                out[0, w, 2 * seg:2 * seg + 128] = jnp.zeros((128,),
+                                                             jnp.float32)
 
             @pl.when(total > 0.0)
             def _(w=w, ti=ti, tj=tj, mi=mi, gj=gj, total=total):
                 _pair_compact(G, ROW_CAP, CAP_PAIR, ti, tj, mi, gj,
-                              total, meta_lane, out_gi, out_gj, out_meta, w)
+                              total, meta_lane, out, w)
 
 
 @functools.partial(
@@ -498,32 +508,30 @@ def tile_group_contacts(a_idx, b_idx, nsteps, a_fields, b_fields=None, *,
         return pl.BlockSpec(
             (1, 8, G), lambda s, ai, bi, ns, w=w: (bi[s * W + w], 0, 0))
 
+    seg = _seg(CAP_PAIR)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(S_cap,),
         in_specs=[a_spec] + [b_spec(w) for w in range(W)],
         out_specs=[
-            pl.BlockSpec((1, W, CAP_PAIR), lambda s, *_: (s, 0, 0)),
-            pl.BlockSpec((1, W, CAP_PAIR), lambda s, *_: (s, 0, 0)),
-            pl.BlockSpec((1, W, 128), lambda s, *_: (s, 0, 0)),
+            pl.BlockSpec((1, W, 2 * seg + 128), lambda s, *_: (s, 0, 0)),
         ],
     )
 
     kernel = functools.partial(_group_kernel, mask_kind, G, W, ROW_CAP,
                                CAP_PAIR, dedup)
-    gi, gj, meta = pl.pallas_call(
+    (out,) = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((S_cap, W, CAP_PAIR), jnp.float32),
-            jax.ShapeDtypeStruct((S_cap, W, CAP_PAIR), jnp.float32),
-            jax.ShapeDtypeStruct((S_cap, W, 128), jnp.float32),
+            jax.ShapeDtypeStruct((S_cap, W, 2 * seg + 128), jnp.float32),
         ],
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(a_idx, b_idx, nsteps, a_packed, *([b_packed] * W))
-    counts = meta[:, :, 0].astype(jnp.int32).reshape(S_cap * W)
-    over = meta[:, :, 1].sum() > 0
-    return (gi.reshape(S_cap * W, CAP_PAIR), gj.reshape(S_cap * W, CAP_PAIR),
+    counts = out[:, :, 2 * seg].astype(jnp.int32).reshape(S_cap * W)
+    over = out[:, :, 2 * seg + 1].sum() > 0
+    return (out[:, :, 0:CAP_PAIR].reshape(S_cap * W, CAP_PAIR),
+            out[:, :, seg:seg + CAP_PAIR].reshape(S_cap * W, CAP_PAIR),
             counts, over)

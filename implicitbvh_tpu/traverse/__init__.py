@@ -5,9 +5,11 @@ from .lvt import (traverse_lvt_pair_fixed, traverse_lvt_single_fixed,
 from .tiles import (TileTraversal, traverse_tiles, traverse_tiles_fixed,
                     traverse_tiles_pair, traverse_tiles_pair_fixed)
 from .ray_tiles import traverse_rays_tiles, traverse_rays_tiles_fixed
+from .dfs import DFSTraversal, traverse_dfs_single, dfs_single_fixed
 
 __all__ = [
-    "BFSTraversal", "BVHTraversal", "LVTTraversal", "TileTraversal",
+    "BFSTraversal", "BVHTraversal", "DFSTraversal", "LVTTraversal",
+    "TileTraversal", "traverse_dfs_single", "dfs_single_fixed",
     "TraversalAlgorithm", "default_start_level", "traverse",
     "traverse_lvt_single_fixed", "traverse_lvt_pair_fixed",
     "traverse_tiles", "traverse_tiles_fixed",

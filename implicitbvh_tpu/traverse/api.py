@@ -119,6 +119,12 @@ def traverse(bvh: BVH,
                                         narrow=narrow, cache=cache,
                                         options=options)
 
+    from .dfs import DFSTraversal, traverse_dfs_single
+    if isinstance(alg, DFSTraversal):
+        return traverse_dfs_single(bvh, start_level=start_level,
+                                   narrow=narrow, cache=cache,
+                                   options=options)
+
     from .tiles import TileTraversal, traverse_tiles
     if isinstance(alg, TileTraversal):
         return traverse_tiles(bvh, alg=alg, narrow=narrow, cache=cache,

@@ -86,6 +86,26 @@ def _virt_child(tree, i, level: int):
     return (2 * i + 1) - first_next + 1 > nreal_next
 
 
+def _gather_nodes_traced(bvh: BVH, implicit, level):
+    """Gather node volumes for implicit indices on a *traced* level (used
+    by the DFS engine, whose per-lane stacks mix levels)."""
+    num_n = max(bvh.tree.num_nodes, 1)
+    lv = jnp.clip(level - 1, 0, bvh.tree.levels - 1)
+    m = jnp.clip(implicit - bvh.skips[lv] - 1, 0, num_n - 1)
+    return jax.tree_util.tree_map(lambda a: a[m], bvh.nodes)
+
+
+def _virt_child_traced(tree, i, level, idt):
+    """Is implicit child ``2i + 1`` (on traced ``level + 1``) virtual?"""
+    levels = tree.levels
+    virtual_leaves = jnp.asarray(tree.virtual_leaves, idt)
+    one = jnp.ones_like(i)
+    first_next = jnp.left_shift(one, level)
+    shift = jnp.clip(levels - (level + 1), 0, levels)
+    nreal_next = first_next - jnp.right_shift(virtual_leaves, shift)
+    return (2 * i + 1) - first_next + 1 > nreal_next
+
+
 # --------------------------------------------------------------------------
 # Single-BVH BFS
 # --------------------------------------------------------------------------
