@@ -92,7 +92,7 @@ def main():
         dep = jnp.float32(0)
         for start in range(0, S_cap, CHUNK):
             ns_c = jnp.clip(nsteps - start, 0, CHUNK)
-            gi_c, gj_c, cnt_c, ov_c = tile_group_contacts(
+            slots_c, cnt_c, ov_c = tile_group_contacts(
                 a_idx[start:start + CHUNK],
                 b_idx[start * W:(start + CHUNK) * W],
                 ns_c.reshape(1).astype(jnp.int32), fields,

@@ -317,9 +317,11 @@ def tile_pair_contacts(packed, npairs, a_fields, b_fields=None, *,
       MASK_FIELD_COUNTS): "sphere"/"box" for leaf-vs-leaf contact,
       "ray_box"/"ray_sphere" for ray tiles (a-side) vs leaf tiles (b-side).
 
-    Returns (gi, gj, counts, overflow): per-pair padded contact slots of
-    global sorted positions as f32 (P_cap, CAP_PAIR), per-pair counts
-    (P_cap,), and a scalar overflow flag.
+    Returns ``(slots, counts, overflow)``: the raw packed per-pair rows
+    (P_cap, 2*seg+128) f32 — gi at lane [0, CAP_PAIR), gj at
+    [seg, seg+CAP_PAIR), see ``_seg`` — plus per-pair counts (P_cap,) and
+    a scalar overflow flag.  Extraction gathers straight from the packed
+    rows (traverse/tiles._extract_contacts).
     """
     P_cap = packed.shape[0]
     if b_fields is None:
@@ -387,9 +389,9 @@ def tile_pair_contacts(packed, npairs, a_fields, b_fields=None, *,
     )(packed, npairs, *([a_packed] * B), *([b_packed] * B))
     counts = out[:, :, 2 * seg].astype(jnp.int32).reshape(P_cap)
     over = out[:, :, 2 * seg + 1].sum() > 0
-    return (out[:, :, 0:CAP_PAIR].reshape(P_cap, CAP_PAIR),
-            out[:, :, seg:seg + CAP_PAIR].reshape(P_cap, CAP_PAIR),
-            counts, over)
+    # the raw packed rows go straight to extraction (slicing gi/gj out
+    # here would materialize two P_cap x CAP_PAIR relayout copies)
+    return out.reshape(P_cap, 2 * seg + 128), counts, over
 
 
 # ---------------------------------------------------------------------------
@@ -477,8 +479,8 @@ def tile_group_contacts(a_idx, b_idx, nsteps, a_fields, b_fields=None, *,
       appended to each side here, so padded b slots and padded lanes produce
       an all-false mask.
 
-    Returns (gi, gj, counts, overflow) with per-pair rows (S_cap * W,
-    CAP_PAIR) / (S_cap * W,), matching :func:`tile_pair_contacts`.
+    Returns ``(slots, counts, overflow)`` with per-pair packed rows
+    (S_cap * W, 2*seg+128), matching :func:`tile_pair_contacts`.
     """
     S_cap = a_idx.shape[0]
     if b_fields is None:
@@ -532,6 +534,4 @@ def tile_group_contacts(a_idx, b_idx, nsteps, a_fields, b_fields=None, *,
     )(a_idx, b_idx, nsteps, a_packed, *([b_packed] * W))
     counts = out[:, :, 2 * seg].astype(jnp.int32).reshape(S_cap * W)
     over = out[:, :, 2 * seg + 1].sum() > 0
-    return (out[:, :, 0:CAP_PAIR].reshape(S_cap * W, CAP_PAIR),
-            out[:, :, seg:seg + CAP_PAIR].reshape(S_cap * W, CAP_PAIR),
-            counts, over)
+    return out.reshape(S_cap * W, 2 * seg + 128), counts, over

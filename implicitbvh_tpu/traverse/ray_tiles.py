@@ -199,23 +199,21 @@ def traverse_rays_tiles_fixed(bvh: BVH, points, directions, capacity: int, *,
         rfields, tile_lo, tile_up, W, S_cap)
     pair_overflow = nsteps > S_cap
 
-    gi_parts, gj_parts, cnt_parts = [], [], []
+    slot_parts, cnt_parts = [], []
     slot_overflow = jnp.zeros((), jnp.bool_)
     for start in range(0, S_cap, CHUNK):
         ns_c = jnp.clip(nsteps - start, 0, CHUNK)
-        gi_c, gj_c, cnt_c, ov_c = tile_group_contacts(
+        slots_c, cnt_c, ov_c = tile_group_contacts(
             a_idx[start:start + CHUNK],
             b_idx[start * W:(start + CHUNK) * W],
             ns_c.reshape(1).astype(jnp.int32), rfields, fields,
             mask_kind="ray_sphere" if sphere else "ray_box", G=G, W=W,
             ROW_CAP=alg.row_cap, CAP_PAIR=alg.pair_cap,
             dedup=False, interpret=interpret)
-        gi_parts.append(gi_c)      # ray sorted positions
-        gj_parts.append(gj_c)      # leaf sorted positions
+        slot_parts.append(slots_c)   # gi = ray, gj = leaf sorted positions
         cnt_parts.append(cnt_c)
         slot_overflow = slot_overflow | ov_c
-    ray_s = jnp.concatenate(gi_parts, axis=0)
-    leaf_s = jnp.concatenate(gj_parts, axis=0)
+    slots = jnp.concatenate(slot_parts, axis=0)
     counts = jnp.concatenate(cnt_parts, axis=0)
 
     # sorted ray position -> original 1-based ray index
@@ -236,10 +234,11 @@ def traverse_rays_tiles_fixed(bvh: BVH, points, directions, capacity: int, *,
             dd = tuple(rflat[3 + k][gr] for k in range(3))
             return narrow(leaf, pp, dd)
 
-    # a-column = leaf user index, b-column = original ray index
+    # a-column = leaf user index (the kernel's gj section), b-column =
+    # original ray index (the gi section) — hence swap_sections
     total, contacts = _extract_contacts(
-        leaf_s, ray_s, counts, bvh.leaves.index, narrow_fn, capacity,
-        leaf_index_b=iray_map, sort_pairs=False)
+        slots, counts, bvh.leaves.index, narrow_fn, capacity,
+        leaf_index_b=iray_map, sort_pairs=False, swap_sections=True)
     # bitmask: bit 0 = a buffer capacity (pair list / contact list) was
     # exceeded (grow capacities), bit 1 = a kernel slot cap was exceeded
     # (grow row_cap/pair_cap) — the wrappers grow only what overflowed

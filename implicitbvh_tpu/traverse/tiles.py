@@ -272,41 +272,53 @@ def _tiled_fields(bvh: BVH, G: int):
     return fields, sphere, tile_lo, tile_up, T
 
 
-def _extract_contacts(gi_slots, gj_slots, counts, leaf_index, narrow_mask_fn,
+def _extract_contacts(slots, counts, leaf_index, narrow_mask_fn,
                       capacity: int, leaf_index_b=None,
-                      sort_pairs: bool = True, retest_fn=None):
-    """Compact padded per-pair slots into the final (capacity, 2) contact
-    list of user-index pairs — sorted (min, max) for self-contact, tree
-    order (i1, i2) for two-BVH traversal (ref traverse_pair_cpu.jl:633).
+                      sort_pairs: bool = True, retest_fn=None,
+                      swap_sections: bool = False):
+    """Compact the kernels' packed per-pair slot rows into the final
+    (capacity, 2) contact list of user-index pairs — sorted (min, max) for
+    self-contact, tree order (i1, i2) for two-BVH traversal
+    (ref traverse_pair_cpu.jl:633).
 
-    Gather-based compaction: a scatter of the P_cap * CAP_PAIR padded slots
-    runs at the XLA scatter rate (~0.55e9 elem/s — 30+ ms at 1M leaves), so
-    instead each of the ``capacity`` output slots *gathers* its source: the
-    owning pair is recovered by scattering pair ids at their exclusive
-    offsets (P_cap elements only) and taking a running max (``cummax``).
+    ``slots`` are the raw (P_cap, 2*seg+128) rows from
+    ops/tile_contact (gi at lane [0, cap), gj at [seg, seg+cap)).
+
+    Gather-based compaction: a scatter of all padded slots runs at the XLA
+    scatter rate (~0.55e9 elem/s — 30+ ms at 1M leaves), so instead each of
+    the ``capacity`` output slots *gathers* its source: the owning pair's
+    flat base is recovered by scattering it at the pair's exclusive offset
+    (P_cap elements only) and taking a running max (``cummax``); slicing
+    gi/gj out of the packed rows first would materialize two relayout
+    copies, so the gathers index the packed buffer directly.
 
     ``retest_fn(gi, gj) -> bool``: optional exact re-test of candidates when
     the kernel used a conservative (superset) contact mask; composed with
     the ``narrow`` predicate before final compaction.
     """
-    P_cap, CAP_PAIR = gi_slots.shape
+    P_cap, stride = slots.shape
+    seg = (stride - 128) // 2
     counts = counts.astype(jnp.int32)
     offs = jnp.cumsum(counts)
     total = offs[-1]
     offs_ex = offs - counts
     dst = jnp.where(counts > 0, offs_ex, capacity)
-    # output slot k reads padded slot ``lane + base(owning pair)`` where
-    # base(p) = p * CAP_PAIR - offs_ex[p]; base is non-decreasing over valid
-    # pairs (counts <= CAP_PAIR), so one scatter-at-start + cummax recovers
-    # it — a single scan instead of (pair-id cummax + offs_ex gather)
-    base = jnp.arange(P_cap, dtype=jnp.int32) * CAP_PAIR - offs_ex
+    # output slot k reads packed element ``lane + base(owning pair)`` where
+    # base(p) = p * stride - offs_ex[p]; base is non-decreasing over valid
+    # pairs (counts <= CAP_PAIR < stride), so one scatter-at-start + cummax
+    # recovers it — a single scan, no per-lane offset gather
+    base = jnp.arange(P_cap, dtype=jnp.int32) * stride - offs_ex
     base_of = jnp.full((capacity,), jnp.iinfo(jnp.int32).min, jnp.int32
                        ).at[dst].set(base, mode="drop")
     base_of = jax.lax.cummax(base_of)
     lane = jnp.arange(capacity, dtype=jnp.int32)
-    flat = jnp.clip(lane + base_of, 0, P_cap * CAP_PAIR - 1)
-    out_gi = gi_slots.reshape(-1)[flat].astype(jnp.int32)
-    out_gj = gj_slots.reshape(-1)[flat].astype(jnp.int32)
+    flat = jnp.clip(lane + base_of, 0, P_cap * stride - 1)
+    flat_hi = jnp.minimum(flat + seg, P_cap * stride - 1)
+    if swap_sections:        # rays: first column = gj section (leaf)
+        flat, flat_hi = flat_hi, flat
+    slots_flat = slots.reshape(-1)
+    out_gi = slots_flat[flat].astype(jnp.int32)
+    out_gj = slots_flat[flat_hi].astype(jnp.int32)
     # map global sorted positions -> user indices (small gather)
     if leaf_index_b is None:
         leaf_index_b = leaf_index
@@ -376,23 +388,21 @@ def traverse_tiles_fixed(bvh: BVH, capacity: int, *,
     a_idx, b_idx, nsteps = _group_pairs(packed, npairs, W, S_cap, T)
     pair_overflow |= nsteps > S_cap
 
-    gi_parts, gj_parts, cnt_parts = [], [], []
+    slot_parts, cnt_parts = [], []
     slot_overflow = jnp.zeros((), jnp.bool_)
     for start in range(0, S_cap, CHUNK):
         ns_c = jnp.clip(nsteps - start, 0, CHUNK)
-        gi_c, gj_c, cnt_c, ov_c = tile_group_contacts(
+        slots_c, cnt_c, ov_c = tile_group_contacts(
             a_idx[start:start + CHUNK],
             b_idx[start * W:(start + CHUNK) * W],
             ns_c.reshape(1).astype(jnp.int32), fields,
             mask_kind="sphere" if sphere else "box", G=G, W=W,
             ROW_CAP=alg.row_cap, CAP_PAIR=alg.pair_cap,
             dedup=True, interpret=interpret)
-        gi_parts.append(gi_c)
-        gj_parts.append(gj_c)
+        slot_parts.append(slots_c)
         cnt_parts.append(cnt_c)
         slot_overflow = slot_overflow | ov_c
-    gi_s = jnp.concatenate(gi_parts, axis=0)
-    gj_s = jnp.concatenate(gj_parts, axis=0)
+    slots = jnp.concatenate(slot_parts, axis=0)
     counts = jnp.concatenate(cnt_parts, axis=0)
 
     narrow_fn = None
@@ -405,7 +415,7 @@ def traverse_tiles_fixed(bvh: BVH, capacity: int, *,
             return narrow(la, lb)
 
     total, contacts = _extract_contacts(
-        gi_s, gj_s, counts, bvh.leaves.index, narrow_fn, capacity)
+        slots, counts, bvh.leaves.index, narrow_fn, capacity)
     # bitmask: bit 0 = a buffer capacity (pair list / contact list) was
     # exceeded (grow capacities), bit 1 = a kernel slot cap was exceeded
     # (grow row_cap/pair_cap) — the wrappers grow only what overflowed
@@ -564,22 +574,20 @@ def traverse_tiles_pair_fixed(bvh1: BVH, bvh2: BVH, capacity: int, *,
     pair_overflow = npairs > pair_capacity
 
     CHUNK = 1 << 17
-    gi_parts, gj_parts, cnt_parts = [], [], []
+    slot_parts, cnt_parts = [], []
     slot_overflow = jnp.zeros((), jnp.bool_)
     for start in range(0, pair_capacity, CHUNK):
         sub = packed[start:start + CHUNK]
         np_c = jnp.clip(npairs - start, 0, sub.shape[0])
-        gi_c, gj_c, cnt_c, ov_c = tile_pair_contacts(
+        slots_c, cnt_c, ov_c = tile_pair_contacts(
             sub, np_c.reshape(1).astype(jnp.int32), f1, f2,
             mask_kind="sphere" if sphere else "box", G=G,
             ROW_CAP=alg.row_cap,
             CAP_PAIR=alg.pair_cap, dedup=False, interpret=interpret)
-        gi_parts.append(gi_c)
-        gj_parts.append(gj_c)
+        slot_parts.append(slots_c)
         cnt_parts.append(cnt_c)
         slot_overflow = slot_overflow | ov_c
-    gi_s = jnp.concatenate(gi_parts, axis=0)
-    gj_s = jnp.concatenate(gj_parts, axis=0)
+    slots = jnp.concatenate(slot_parts, axis=0)
     counts = jnp.concatenate(cnt_parts, axis=0)
 
     narrow_fn = None
@@ -592,7 +600,7 @@ def traverse_tiles_pair_fixed(bvh1: BVH, bvh2: BVH, capacity: int, *,
             return narrow(la, lb)
 
     total, contacts = _extract_contacts(
-        gi_s, gj_s, counts, bvh1.leaves.index, narrow_fn, capacity,
+        slots, counts, bvh1.leaves.index, narrow_fn, capacity,
         leaf_index_b=bvh2.leaves.index, sort_pairs=False)
     # bitmask: bit 0 = a buffer capacity (pair list / contact list) was
     # exceeded (grow capacities), bit 1 = a kernel slot cap was exceeded

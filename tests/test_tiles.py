@@ -146,14 +146,16 @@ def test_kernel_decode_high_tile_index():
     pk = (ti << 16) | tj
     pk = pk - (1 << 32) if pk >= (1 << 31) else pk  # int32 wraparound
     packed = jnp.zeros((8,), jnp.int32).at[0].set(pk)
-    gi, gj, counts, over = tile_pair_contacts(
+    slots, counts, over = tile_pair_contacts(
         packed, jnp.ones((1,), jnp.int32), (x0, x1, x2, r),
         mask_kind="sphere", G=G, ROW_CAP=2, CAP_PAIR=G,
         dedup=False, interpret=True)
     assert int(counts[0]) == G
     assert not bool(over)
-    # diagonal contacts: gi = ti*G + k, gj = tj*G + k
-    gis = sorted(int(v) for v in gi[0][:G])
-    gjs = sorted(int(v) for v in gj[0][:G])
+    # packed row: gi at [0, CAP), gj at [seg, seg+CAP) (ops _seg layout)
+    from implicitbvh_tpu.ops.tile_contact import _seg
+    seg = _seg(G)
+    gis = sorted(int(v) for v in slots[0][:G])
+    gjs = sorted(int(v) for v in slots[0][seg:seg + G])
     assert gis == [ti * G + k for k in range(G)]
     assert gjs == [tj * G + k for k in range(G)]
