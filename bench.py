@@ -34,13 +34,19 @@ K_CHAIN = 5
 
 
 def synth_triangles(n_tri: int, seed: int = 0):
-    """Random triangle soup at ~unit density (contact-rich, dragon-like)."""
+    """Random triangle soup at ~unit density (contact-rich, dragon-like).
+
+    Vertices are returned as coordinate 3-tuples of (N,) arrays — the
+    TPU-native SoA layout ((N, 3) device arrays pad their lane dim 3->128,
+    and slicing them back out costs ~6 ms at 1M)."""
     rng = np.random.default_rng(seed)
     scale = float(n_tri) ** (1.0 / 3.0)
     c = (rng.random((n_tri, 3)) * scale).astype(np.float32)
     e1 = (rng.random((n_tri, 3)) - 0.5).astype(np.float32) * 0.4
     e2 = (rng.random((n_tri, 3)) - 0.5).astype(np.float32) * 0.4
-    return c, c + e1, c + e2
+    def tup(a):
+        return tuple(jnp.asarray(a[:, k]) for k in range(3))
+    return tup(c), tup(c + e1), tup(c + e2)
 
 
 def main():
@@ -48,14 +54,13 @@ def main():
     n_tri = 1 << 14 if on_cpu else 1 << 20  # CPU fallback keeps this runnable
 
     p1, p2, p3 = synth_triangles(n_tri)
-    p1, p2, p3 = jnp.asarray(p1), jnp.asarray(p2), jnp.asarray(p3)
 
     G = 128
     T = -(-n_tri // G)
     pair_capacity = _pair_capacity_for(T)
-    # right-sized contact capacity (~3.7x the measured 71.7k contacts at 1M;
+    # right-sized contact capacity (~2.3x the measured 57.9k contacts at 1M;
     # overflow is checked and reported) — extraction cost scales with it
-    capacity = max(1 << math.ceil(math.log2(n_tri)) - 2, 4096)
+    capacity = max(1 << math.ceil(math.log2(n_tri)) - 3, 4096)
     alg = TileTraversal(row_cap=4, pair_cap=32)
 
     def step(q1, q2, q3):
@@ -74,7 +79,7 @@ def main():
             total, overflow, checksum = step(q1, q2, q3)
             dep = (total.astype(jnp.float32) + overflow.astype(jnp.float32)
                    + 1e-9 * checksum.astype(jnp.float32))
-            return (q1 + 1e-12 * dep, acc + dep)
+            return (tuple(x + 1e-12 * dep for x in q1), acc + dep)
         _, acc = jax.lax.fori_loop(0, K_CHAIN, body, (q1, jnp.float32(0)))
         return acc
 
@@ -91,7 +96,7 @@ def main():
     float(chained(p1, p2, p3))  # warm
     best = float("inf")
     for trial in range(3):
-        q1 = p1 * jnp.float32(1.0 + 1e-7 * (trial + 1))
+        q1 = tuple(x * jnp.float32(1.0 + 1e-7 * (trial + 1)) for x in p1)
         t0 = time.time()
         float(chained(q1, p2, p3))  # fetch forces completion
         best = min(best, (time.time() - t0) / K_CHAIN)

@@ -32,13 +32,15 @@ def timed(fn, *args):
         def body(i, carry):
             a0, acc = carry
             dep = fn(a0, *a[1:])
-            return (a0 + 1e-12 * dep, acc + dep)
+            a0n = jax.tree_util.tree_map(lambda x: x + 1e-12 * dep, a0)
+            return (a0n, acc + dep)
         _, acc = jax.lax.fori_loop(0, K, body, (a[0], jnp.float32(0)))
         return acc
     float(chained(*args))  # warm
     best = float("inf")
     for t in range(3):
-        args2 = (args[0] * jnp.float32(1.0 + 1e-7 * (t + 1)),) + args[1:]
+        f = jnp.float32(1.0 + 1e-7 * (t + 1))
+        args2 = (jax.tree_util.tree_map(lambda x: x * f, args[0]),) + args[1:]
         t0 = time.time()
         float(chained(*args2))
         best = min(best, (time.time() - t0) / K)
@@ -52,12 +54,15 @@ def main():
     c = (rng.random((n_tri, 3)) * scale).astype(np.float32)
     e1 = (rng.random((n_tri, 3)) - 0.5).astype(np.float32) * 0.4
     e2 = (rng.random((n_tri, 3)) - 0.5).astype(np.float32) * 0.4
-    p1, p2, p3 = jnp.asarray(c), jnp.asarray(c + e1), jnp.asarray(c + e2)
+
+    def tup(a):
+        return tuple(jnp.asarray(a[:, k]) for k in range(3))
+    p1, p2, p3 = tup(c), tup(c + e1), tup(c + e2)
 
     G = 128
     T = -(-n_tri // G)
     pair_capacity = _pair_capacity_for(T)
-    capacity = max(1 << math.ceil(math.log2(n_tri)) - 2, 4096)
+    capacity = max(1 << math.ceil(math.log2(n_tri)) - 3, 4096)
     alg = TileTraversal(row_cap=4, pair_cap=32)
 
     def s_volumes(q1, q2, q3):
