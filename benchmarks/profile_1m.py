@@ -114,6 +114,20 @@ def main():
         return (total.astype(jnp.float32) +
                 1e-9 * contacts.sum(dtype=jnp.int32).astype(jnp.float32))
 
+    # correctness sanity before timing: totals must match the LVT walk
+    # count and nothing may overflow (a TPU-only phase-1 cap overflow once
+    # inflated counts 5x while every checksum-only timing looked fine)
+    s = ib.bsphere_from_triangles(p1, p2, p3)
+    bvh = ib.build(s, ib.BBox)
+    total, contacts, ov = traverse_tiles_fixed(
+        bvh, capacity, alg=alg, pair_capacity=pair_capacity)
+    assert int(ov) == 0, f"overflow bits {int(ov)}"
+    import numpy as _np
+    cl = _np.asarray(contacts[:int(total)])
+    assert len(set(map(tuple, cl.tolist()))) == int(total), "duplicate contacts"
+    print(f"# sanity: {int(total)} unique contacts, no overflow",
+          flush=True)
+
     stages = [("volumes", s_volumes), ("build", s_build),
               ("phase1", s_phase1), ("kernel", s_kernel), ("full", s_full)]
     prev = 0.0

@@ -137,6 +137,8 @@ def tile_compact(mask, payloads, cap: int = 256, row_cap: int = 8,
         out_shape=[jax.ShapeDtypeStruct((tiles, 1, cap), jnp.float32)
                    for _ in range(n_payload)] +
                   [jax.ShapeDtypeStruct((tiles, 1, 128), jnp.float32)],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(m3, *p3)
     slots = [o[:, 0, :] for o in outs[:n_payload]]

@@ -125,9 +125,13 @@ def _phase1_tile_pairs(tile_lo, tile_up, G: int, P_cap: int,
       reshaped arrays — 12 gathers of SP_cap contiguous 32-slices instead
       of 12 x SS*SP_cap elementwise gathers (23.9 -> 6.7 ms);
     - the 6.3M-element survivor compaction runs in the Pallas stream
-      compactor (ops/compaction.py) instead of XLA cumsum+scatter
-      (36.9 -> 11.2 ms), with (ti, tj) as two separate payloads so the
-      values stay f32-exact.
+      compactor (ops/compaction.py) instead of XLA cumsum+scatter, with
+      (ti, tj) as two separate payloads so the values stay f32-exact.
+      The compactor's kernel cost scales with its per-mega-tile cap, and
+      survivor densities have a ~3.3x max/mean ratio in every mega-tile
+      layout tried, so the cap (see cap_c below) is sized 1.3x over the
+      worst measured density — NOT at the mean (a too-small cap overflows
+      and, beyond the flagged overflow, costs a growth re-run).
     """
     if interpret is None:
         interpret = _use_interpret()
@@ -192,7 +196,11 @@ def _phase1_tile_pairs(tile_lo, tile_up, G: int, P_cap: int,
     tjj_t = (sj * SS)[None, None, :] + k_j
 
     from ..ops.compaction import finish_compact, tile_compact
-    cap_c = max(1024, P_cap // 192)
+    # per-mega-tile survivor cap: measured max densities at 1M are
+    # 1391 (bench scene) and 1970 (mixed-radius particles) per 16384-slot
+    # mega-tile, vs a ~600 mean — 2x headroom over the worst observed;
+    # scales with P_cap so the growth loop raises it on overflow
+    cap_c = max(2048, P_cap // 116)
     slots, counts, c_over = tile_compact(
         ovB_t, (tii_t.reshape(-1), tjj_t.reshape(-1)),
         cap=cap_c, row_cap=128, interpret=interpret)
