@@ -82,18 +82,22 @@ def main():
     def s_phase1(q1, q2, q3):
         s = ib.bsphere_from_triangles(q1, q2, q3)
         bvh = ib.build(s, ib.BBox)
-        fields, sphere, tile_lo, tile_up, T_ = _tiled_fields(bvh, G)
-        packed, npairs = _phase1_tile_pairs(tile_lo, tile_up, G, pair_capacity)
-        a_idx, b_idx, nsteps = _group_pairs(packed, npairs, W, S_cap, T_)
+        fields, sphere, tile_lo, tile_up, sub_lo, sub_up, T_ = \
+            _tiled_fields(bvh, G)
+        packed, band, npairs = _phase1_tile_pairs(
+            tile_lo, tile_up, sub_lo, sub_up, G, pair_capacity)
+        a_idx, b_idx, nsteps = _group_pairs(packed, band, npairs, W, S_cap, T_)
         return (a_idx.sum().astype(jnp.float32) + b_idx[0] +
                 nsteps.astype(jnp.float32))
 
     def s_kernel(q1, q2, q3):
         s = ib.bsphere_from_triangles(q1, q2, q3)
         bvh = ib.build(s, ib.BBox)
-        fields, sphere, tile_lo, tile_up, T_ = _tiled_fields(bvh, G)
-        packed, npairs = _phase1_tile_pairs(tile_lo, tile_up, G, pair_capacity)
-        a_idx, b_idx, nsteps = _group_pairs(packed, npairs, W, S_cap, T_)
+        fields, sphere, tile_lo, tile_up, sub_lo, sub_up, T_ = \
+            _tiled_fields(bvh, G)
+        packed, band, npairs = _phase1_tile_pairs(
+            tile_lo, tile_up, sub_lo, sub_up, G, pair_capacity)
+        a_idx, b_idx, nsteps = _group_pairs(packed, band, npairs, W, S_cap, T_)
         dep = jnp.float32(0)
         for start in range(0, S_cap, CHUNK):
             ns_c = jnp.clip(nsteps - start, 0, CHUNK)

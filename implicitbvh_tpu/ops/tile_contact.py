@@ -69,6 +69,10 @@ MASK_FIELD_COUNTS = {
     "ray_sphere": (6, 4),    # rays vs sphere leaves
 }
 
+# Sub-bands per a-tile for the banded grouped kernel (ops/subtile.py
+# computes the per-(pair, band) skip bits in phase 1).
+N_BANDS = 4
+
 
 def _pair_kernel(mask_kind: str, G: int, ROW_CAP: int, CAP_PAIR: int,
                  dedup: bool, B: int,
@@ -189,6 +193,71 @@ _MASK_FNS = {
     "ray_box": _mask_ray_box,
     "ray_sphere": _mask_ray_sphere,
 }
+
+
+# ---------------------------------------------------------------------------
+# Banded masks: the grouped kernel computes the (G, G) mask per (G/N_BANDS)
+# sub-band under pl.when, skipping bands whose sub-AABB misses the b-tile
+# (phase 1 provides the skip bits).  The a-side lane->sublane relayout
+# (``[:, None]``) is hoisted once per grid step via ``_acols``.
+# ---------------------------------------------------------------------------
+
+def _acols(mask_kind: str, a_blk):
+    """Per-field (G, 1) column relayouts of the a-side block, with the
+    ray slab test's 1/d precomputed (it is band-invariant)."""
+    Fa = MASK_FIELD_COUNTS[mask_kind][0]
+    cols = [a_blk[k][:, None] for k in range(Fa)]
+    if mask_kind == "ray_box":
+        cols = cols[:3] + [1.0 / c for c in cols[3:]]
+    return cols
+
+
+def _band_mask(mask_kind: str, cols, b_blk, r0: int, bh: int):
+    """(bh, G) contact mask for a-rows [r0, r0+bh) vs the full b tile.
+    Same predicates as _MASK_FNS (see those for the reference citations);
+    padded leaves carry NaN fields whose comparisons are always false."""
+    a = [c[r0:r0 + bh] for c in cols]
+    if mask_kind == "sphere":
+        b = [b_blk[k][None, :] for k in range(4)]
+        dx = a[0] - b[0]
+        dy = a[1] - b[1]
+        dz = a[2] - b[2]
+        rr = a[3] + b[3]
+        return dx * dx + dy * dy + dz * dz <= rr * rr
+    if mask_kind == "box":
+        b = [b_blk[k][None, :] for k in range(6)]
+        m = (a[3] >= b[0]) & (a[0] <= b[3])
+        m &= (a[4] >= b[1]) & (a[1] <= b[4])
+        return m & (a[5] >= b[2]) & (a[2] <= b[5])
+
+    def min2(x, y):
+        return jnp.where(x < y, x, y)
+
+    def max2(x, y):
+        return jnp.where(x > y, x, y)
+
+    if mask_kind == "ray_box":
+        b = [b_blk[k][None, :] for k in range(6)]
+        tmin = None
+        tmax = None
+        for k in range(3):
+            t1 = (b[k] - a[k]) * a[3 + k]      # a[3+k] holds 1/d
+            t2 = (b[3 + k] - a[k]) * a[3 + k]
+            lo = min2(t1, t2)
+            hi = max2(t1, t2)
+            tmin = lo if tmin is None else max2(tmin, lo)
+            tmax = hi if tmax is None else min2(tmax, hi)
+        return (tmin <= tmax) & (tmax >= 0)
+    assert mask_kind == "ray_sphere", mask_kind
+    b = [b_blk[k][None, :] for k in range(4)]
+    qa = a[3] * a[3] + a[4] * a[4] + a[5] * a[5]
+    po0 = a[0] - b[0]
+    po1 = a[1] - b[1]
+    po2 = a[2] - b[2]
+    qb = 2.0 * (po0 * a[3] + po1 * a[4] + po2 * a[5])
+    qc = po0 * po0 + po1 * po1 + po2 * po2 - b[3] * b[3]
+    disc = qb * qb - 4.0 * qa * qc
+    return (disc >= 0) & ((qb <= 0) | (qc <= 0))
 
 
 def _pair_body(mask_kind, G, ROW_CAP, CAP_PAIR,
@@ -402,21 +471,28 @@ def _group_kernel(mask_kind: str, G: int, W: int, ROW_CAP: int,
                   CAP_PAIR: int, dedup: bool,
                   ai_ref, bi_ref, nsteps_ref,   # scalar prefetch
                   *refs):
-    """One a-tile against W b-tiles per grid step.
+    """One a-tile against W b-tiles per grid step, banded.
 
     The per-pair kernel above is bounded by per-pair scalar sequencing and
-    mask issue (~1 us/pair for the 22-op ray mask); grouping W pairs that
-    share the a-tile computes ONE (G, W*G) wide mask — amortizing the
-    scalar overhead and the a-side DMA W-fold.  Validity is encoded in the
-    data: padded tiles/lanes hold NaN fields, whose comparisons are false.
+    mask issue; grouping W pairs that share the a-tile amortizes the scalar
+    overhead and the a-side DMA W-fold.  Each ``bi_ref`` entry carries the
+    b-tile index in its low 16 bits and an N_BANDS-bit sub-band mask in the
+    high bits (phase 1 computes which (G/N_BANDS)-leaf sub-bands of the
+    a-tile can touch the b-tile, ops/subtile.py): the mask — the dominant
+    kernel cost, at measured VPU peak with a 0.0016%% hit rate — is only
+    computed for live bands, via pl.when writes into a (G, G) scratch.
+    Validity is still also encoded in the data (padded tiles/lanes hold
+    NaN fields, whose comparisons are false).
 
     refs: a block (1, 8, G); W b blocks (1, 8, G); ONE packed output with
-    (1, W, 2*seg+128) blocks (see _seg).
+    (1, W, 2*seg+128) blocks (see _seg); (G, G) f32 mask scratch.
     """
     aref = refs[0]
     brefs = refs[1:1 + W]
     out = refs[1 + W]
+    mscr = refs[2 + W]
     seg = _seg(CAP_PAIR)
+    BH = G // N_BANDS
 
     s = pl.program_id(0)
     step_valid = s < nsteps_ref[0]
@@ -428,36 +504,48 @@ def _group_kernel(mask_kind: str, G: int, W: int, ROW_CAP: int,
     @pl.when(step_valid)
     def _():
         a_blk = aref[0]                             # (8, G)
-        b_wide = jnp.concatenate(
-            [brefs[w][0] for w in range(W)], axis=1)  # (8, W*G)
-        mask = _MASK_FNS[mask_kind](a_blk, b_wide)  # (G, W*G)
-
+        cols = _acols(mask_kind, a_blk)
         ti = ai_ref[s]
         lane = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
         sub = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
         meta_lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
         for w in range(W):
-            tj = bi_ref[s * W + w]
-            mw = mask[:, w * G:(w + 1) * G]
-            if dedup:
-                # self-contact: global sorted-order j > i (ref lvt
-                # traverse_single.jl:163-167)
-                gi = ti * G + sub
-                gj_d = tj * G + lane
-                mw = mw & (gj_d > gi)
-            mi = mw.astype(jnp.float32)
-            total = jnp.sum(mi)
-            gj = tj * G + lane
+            bw = bi_ref[s * W + w]
+            tj = bw & 0xFFFF
+            bm = (bw >> 16) & ((1 << N_BANDS) - 1)
 
-            @pl.when(total == 0.0)
+            @pl.when(bm == 0)
             def _(w=w):
                 out[0, w, 2 * seg:2 * seg + 128] = jnp.zeros((128,),
                                                              jnp.float32)
 
-            @pl.when(total > 0.0)
-            def _(w=w, ti=ti, tj=tj, mi=mi, gj=gj, total=total):
-                _pair_compact(G, ROW_CAP, CAP_PAIR, ti, tj, mi, gj,
-                              total, meta_lane, out, w)
+            @pl.when(bm != 0)
+            def _(w=w, tj=tj, bm=bm):
+                b_blk = brefs[w][0]
+                mscr[:, :] = jnp.zeros((G, G), jnp.float32)
+                for r in range(N_BANDS):
+                    @pl.when(((bm >> r) & 1) != 0)
+                    def _(r=r):
+                        m = _band_mask(mask_kind, cols, b_blk, r * BH, BH)
+                        mscr[r * BH:(r + 1) * BH, :] = m.astype(jnp.float32)
+                mi = mscr[:, :]
+                gi = ti * G + sub
+                gj = tj * G + lane
+                if dedup:
+                    # self-contact: global sorted-order j > i (ref lvt
+                    # traverse_single.jl:163-167)
+                    mi = jnp.where(gj > gi, mi, 0.0)
+                total = jnp.sum(mi)
+
+                @pl.when(total == 0.0)
+                def _(w=w):
+                    out[0, w, 2 * seg:2 * seg + 128] = jnp.zeros(
+                        (128,), jnp.float32)
+
+                @pl.when(total > 0.0)
+                def _(w=w, ti=ti, tj=tj, mi=mi, gj=gj, total=total):
+                    _pair_compact(G, ROW_CAP, CAP_PAIR, ti, tj, mi, gj,
+                                  total, meta_lane, out, w)
 
 
 @functools.partial(
@@ -471,9 +559,12 @@ def tile_group_contacts(a_idx, b_idx, nsteps, a_fields, b_fields=None, *,
     """Run the grouped tile-contact kernel.
 
     - ``a_idx``: (S_cap,) int32 a-tile index per step.
-    - ``b_idx``: (S_cap * W,) int32 b-tile indices, flat row-major (2D SMEM
-      prefetch arrays pad the minor dim to 128 lanes — 1D stays compact);
-      pad entries point at the NaN pad tile appended to ``b_fields``.
+    - ``b_idx``: (S_cap * W,) int32 entries ``tj | band_bits << 16``, flat
+      row-major (2D SMEM prefetch arrays pad the minor dim to 128 lanes —
+      1D stays compact): low 16 bits = b-tile index, high bits = the
+      N_BANDS-bit a-sub-band liveness mask from phase 1 (all-ones when the
+      caller has no band information).  Pad entries carry band bits 0 (and
+      conventionally point at the NaN pad tile appended to ``b_fields``).
     - ``nsteps``: (1,) int32 number of valid steps.
     - ``a_fields``/``b_fields``: (T, G) f32 field tuples; a NaN pad tile is
       appended to each side here, so padded b slots and padded lanes produce
@@ -507,8 +598,10 @@ def tile_group_contacts(a_idx, b_idx, nsteps, a_fields, b_fields=None, *,
         (1, 8, G), lambda s, ai, bi, ns: (ai[s], 0, 0))
 
     def b_spec(w):
+        # low 16 bits = tile index (high bits carry the band mask)
         return pl.BlockSpec(
-            (1, 8, G), lambda s, ai, bi, ns, w=w: (bi[s * W + w], 0, 0))
+            (1, 8, G),
+            lambda s, ai, bi, ns, w=w: (bi[s * W + w] & 0xFFFF, 0, 0))
 
     seg = _seg(CAP_PAIR)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -518,6 +611,7 @@ def tile_group_contacts(a_idx, b_idx, nsteps, a_fields, b_fields=None, *,
         out_specs=[
             pl.BlockSpec((1, W, 2 * seg + 128), lambda s, *_: (s, 0, 0)),
         ],
+        scratch_shapes=[pltpu.VMEM((G, G), jnp.float32)],
     )
 
     kernel = functools.partial(_group_kernel, mask_kind, G, W, ROW_CAP,

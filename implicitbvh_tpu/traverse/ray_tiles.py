@@ -83,10 +83,17 @@ def _ray_tile_fields(p, d, perm, G: int):
 
 
 def _ray_tile_hits(rfields, tile_lo, tile_up):
-    """(RT, T) bool: does any ray of ray-tile rt hit leaf-tile t's AABB."""
+    """(RT, T) int32 band bits: bit r set iff any ray of ray-tile rt's
+    (G/N_BANDS)-ray sub-band r hits leaf-tile t's AABB (bits > 0 = the old
+    any-ray hit).  The contact kernel skips dead mask bands via the bits —
+    useful-test density was only ~14% at tile granularity (rays that miss
+    the tile AABB still got tested against all its leaves)."""
+    from ..ops.tile_contact import N_BANDS
+
     RT = rfields[0].shape[0]
     T = tile_lo[0].shape[0]
     G = rfields[0].shape[1]
+    BH = G // N_BANDS
     los = tuple(tile_lo)
     ups = tuple(tile_up)
 
@@ -109,6 +116,8 @@ def _ray_tile_hits(rfields, tile_lo, tile_up):
         rflat.append(f.reshape(RTB, MB * G))
     stacked = jnp.stack(rflat, axis=1)             # (RTB, 6, MB*G)
 
+    wts = (1 << jnp.arange(N_BANDS, dtype=jnp.int32))[None, :, None]
+
     def block(blk):                                # (6, MB*G) -> (MB, T)
         tmin = None
         tmax = None
@@ -122,7 +131,9 @@ def _ray_tile_hits(rfields, tile_lo, tile_up):
             tmin = lo if tmin is None else max2(tmin, lo)
             tmax = hi if tmax is None else min2(tmax, hi)
         hit = (tmin <= tmax) & (tmax >= 0)
-        return jnp.any(hit.reshape(MB, G, T), axis=1)
+        hb = jnp.any(hit.reshape(MB * N_BANDS, BH, T), axis=1)
+        return jnp.sum(hb.reshape(MB, N_BANDS, T).astype(jnp.int32) * wts,
+                       axis=1)
 
     return jax.lax.map(block, stacked).reshape(RTB * MB, T)[:RT]
 
@@ -132,9 +143,11 @@ def _phase1_ray_tile_groups(rfields, tile_lo, tile_up, W: int, S_cap: int):
     """Grouped candidate extraction for the wide kernel: per ray tile, its
     candidate leaf tiles are packed W per step.
 
-    Returns (a_idx (S_cap,), b_idx (S_cap, W), nsteps); pad b entries point
-    at the NaN pad tile (index T)."""
-    hits = _ray_tile_hits(rfields, tile_lo, tile_up)
+    Returns (a_idx (S_cap,), b_idx (S_cap, W), nsteps); b entries carry
+    ray-sub-band bits in their high 16 bits; pad entries point at the NaN
+    pad tile (index T) with band bits 0."""
+    bits = _ray_tile_hits(rfields, tile_lo, tile_up)
+    hits = bits > 0
     RT, T = hits.shape
     h = hits.astype(jnp.int32)
     q = jnp.cumsum(h, axis=1) - h                  # within-row exclusive pos
@@ -148,7 +161,8 @@ def _phase1_ray_tile_groups(rfields, tile_lo, tile_up, W: int, S_cap: int):
     step = goff[:, None] + q // W
     dst = jnp.where(hits, step * W + q % W, S_cap * W)
     b_flat = jnp.full((S_cap * W,), T, jnp.int32).at[
-        dst.reshape(-1)].set(t_idx.reshape(-1), mode="drop")
+        dst.reshape(-1)].set((t_idx | (bits << 16)).reshape(-1),
+                             mode="drop")
     a_dst = jnp.where(hits, step, S_cap)
     a_idx = jnp.zeros((S_cap,), jnp.int32).at[
         a_dst.reshape(-1)].set(rt_idx.reshape(-1), mode="drop")
@@ -180,7 +194,7 @@ def traverse_rays_tiles_fixed(bvh: BVH, points, directions, capacity: int, *,
 
     p, d = _prep_rays(points, directions, bvh.leaves.volume.dtype)
     n_rays = p[0].shape[0]
-    fields, sphere, tile_lo, tile_up, T = _tiled_fields(bvh, G)
+    fields, sphere, tile_lo, tile_up, _, _, T = _tiled_fields(bvh, G)
     perm = _sort_rays(p, d)
     rfields, RT = _ray_tile_fields(p, d, perm, G)
     if T >= 1 << 16 or RT >= 1 << 16:

@@ -112,26 +112,34 @@ def _compact_flat(flat, values, cap, pad=0):
 
 
 @partial(jax.jit, static_argnames=("G", "P_cap", "interpret"))
-def _phase1_tile_pairs(tile_lo, tile_up, G: int, P_cap: int,
+def _phase1_tile_pairs(tile_lo, tile_up, sub_lo, sub_up, G: int, P_cap: int,
                        interpret: Optional[bool] = None):
-    """Hierarchical tile-pair extraction -> packed (ti << 16 | tj) pairs.
+    """Hierarchical tile-pair extraction -> packed (ti << 16 | tj) pairs
+    plus per-pair a-sub-band liveness bits.
 
     A flat T x T overlap matrix would make the compaction the dominant cost
     at large N, so tiles are grouped into supertiles of SS=32: a dense
     S x S pass extracts overlapping supertile pairs, then only those pairs
     expand to 32 x 32 tile tests.  TPU specifics (measured at 1M leaves):
 
-    - level-B tile AABBs are fetched as *row gathers* from the (S, SS)
-      reshaped arrays — 12 gathers of SP_cap contiguous 32-slices instead
-      of 12 x SS*SP_cap elementwise gathers (23.9 -> 6.7 ms);
+    - level B runs as a Pallas kernel (ops/subtile.py): the supertile rows
+      arrive as scalar-prefetch-indexed block DMAs instead of XLA row
+      gathers (12 gathers of (SP_cap, 32) rows measured 6.7 ms), and the
+      kernel emits N_BANDS sub-band bits per tile pair — ``bits > 0`` is a
+      strictly tighter pair filter than the tile-vs-tile AABB test, and
+      the contact kernel uses the bits to skip whole mask bands;
     - the 6.3M-element survivor compaction runs in the Pallas stream
       compactor (ops/compaction.py) instead of XLA cumsum+scatter, with
-      (ti, tj) as two separate payloads so the values stay f32-exact.
+      (ti, tj | bits << 16) as two payloads so the values stay f32-exact
+      (< 2^24; T < 2^16 is enforced by the callers).
       The compactor's kernel cost scales with its per-mega-tile cap, and
       survivor densities have a ~3.3x max/mean ratio in every mega-tile
       layout tried, so the cap (see cap_c below) is sized 1.3x over the
       worst measured density — NOT at the mean (a too-small cap overflows
       and, beyond the flagged overflow, costs a growth re-run).
+
+    Returns ``(packed, band, npairs)``: pair list, per-pair band bits, and
+    the valid count (> P_cap signals overflow).
     """
     if interpret is None:
         interpret = _use_interpret()
@@ -166,34 +174,27 @@ def _phase1_tile_pairs(tile_lo, tile_up, G: int, P_cap: int,
     si = spacked // S                            # supertile row (SP_cap,)
     sj = spacked % S
 
-    # level B: SS x SS tile tests per supertile pair, laid out
-    # (SP_cap, SS_i, SS_j); tile AABBs arrive as contiguous row gathers
-    a_lo = tuple(c[si] for c in tl2)             # (SP_cap, SS)
-    a_up = tuple(c[si] for c in tu2)
-    b_lo = tuple(c[sj] for c in tl2)
-    b_up = tuple(c[sj] for c in tu2)
-    ovB = _overlap(a_lo, a_up, b_lo, b_up,
-                   bc=lambda x: x[:, :, None], br=lambda x: x[:, None, :])
-    k_i = jax.lax.broadcasted_iota(jnp.int32, (SP_cap, SS, SS), 1)
-    k_j = jax.lax.broadcasted_iota(jnp.int32, (SP_cap, SS, SS), 2)
-    tii = (si * SS)[:, None, None] + k_i
-    tjj = (sj * SS)[:, None, None] + k_j
-    ovB &= tii <= tjj
-    ovB &= (tii < T) & (tjj < T)
-    sp_lane = jnp.arange(SP_cap, dtype=jnp.int32)
-    ovB &= (sp_lane < nsp)[:, None, None]
+    # level B (phase 1b): per-pair sub-band bits from the Pallas kernel;
+    # triangle (tii <= tjj) and tii/tjj < T validity applied in-kernel
+    from ..ops.subtile import subtile_band_bits
+    bits = subtile_band_bits(
+        sub_lo, sub_up, tile_lo, tile_up, si, sj,
+        nsp.reshape(1).astype(jnp.int32), T=T, triangle=True,
+        interpret=interpret)                     # (SP_cap, SS, 128)
+    bits = bits[:, :, :SS]
 
     # Compact with the superpair axis MINOR: survivors cluster on dense
     # (e.g. diagonal) superpairs, so (SP, SS, SS)-major mega-tiles overflow
     # the compactor's per-tile cap; transposed, every 16384-element
     # mega-tile mixes all superpairs and densities stay near the mean.
-    # The mask transpose is a 6.3M-pred relayout (cheap); the payload iotas
+    # The bits transpose is a 6.3M-elem relayout (cheap); the payload iotas
     # are rebuilt directly in the transposed layout.
-    ovB_t = jnp.transpose(ovB, (1, 2, 0)).reshape(-1)
+    bits_t = jnp.transpose(bits, (1, 2, 0))      # (SS_i, SS_j, SP_cap)
+    ovB_t = (bits_t > 0).reshape(-1)
     k_i = jax.lax.broadcasted_iota(jnp.int32, (SS, SS, SP_cap), 0)
     k_j = jax.lax.broadcasted_iota(jnp.int32, (SS, SS, SP_cap), 1)
     tii_t = (si * SS)[None, None, :] + k_i
-    tjj_t = (sj * SS)[None, None, :] + k_j
+    tjj_t = ((sj * SS)[None, None, :] + k_j) | (bits_t << 16)
 
     from ..ops.compaction import finish_compact, tile_compact
     # per-mega-tile survivor cap: measured max densities at 1M are
@@ -204,22 +205,25 @@ def _phase1_tile_pairs(tile_lo, tile_up, G: int, P_cap: int,
     slots, counts, c_over = tile_compact(
         ovB_t, (tii_t.reshape(-1), tjj_t.reshape(-1)),
         cap=cap_c, row_cap=128, interpret=interpret)
-    (out_ti, out_tj), npairs = finish_compact(slots, counts, P_cap)
-    packed = (out_ti << 16) | out_tj
+    (out_ti, out_tjb), npairs = finish_compact(slots, counts, P_cap)
+    packed = (out_ti << 16) | (out_tjb & 0xFFFF)
+    band = out_tjb >> 16
     npairs = jnp.where(sp_overflow | c_over, P_cap + 1, npairs)
-    return packed, npairs
+    return packed, band, npairs
 
 
 @partial(jax.jit, static_argnames=("W", "S_cap", "T_pad"))
-def _group_pairs(packed, npairs, W: int, S_cap: int, T_pad: int):
+def _group_pairs(packed, band, npairs, W: int, S_cap: int, T_pad: int):
     """Regroup a packed (ti << 16 | tj) pair list for the grouped wide
     kernel (ops/tile_contact.tile_group_contacts): sort by (ti, tj) and pack
     each ti's tj-list W per step, so the kernel fetches the shared a-tile
     once per step instead of once per pair (the per-pair kernel is
-    DMA-issue-bound).
+    DMA-issue-bound).  ``band`` (per-pair sub-band bits from phase 1b)
+    rides along the sort and lands in the b entries' high 16 bits.
 
     Returns ``(a_idx (S_cap,), b_idx (S_cap * W,), nsteps)``; pad b entries
-    point at the NaN pad tile (index ``T_pad``).
+    point at the NaN pad tile (index ``T_pad``) with band bits 0, so the
+    kernel skips them without touching their data.
     """
     P_cap = packed.shape[0]
     lane = jnp.arange(P_cap, dtype=jnp.int32)
@@ -228,7 +232,7 @@ def _group_pairs(packed, npairs, W: int, S_cap: int, T_pad: int):
     # (b) the -1 padding sorts last
     pk_u = jax.lax.bitcast_convert_type(
         jnp.where(valid, packed, -1), jnp.uint32)
-    (pk_s,) = jax.lax.sort((pk_u,), num_keys=1)
+    pk_s, band_s = jax.lax.sort((pk_u, band), num_keys=1)
     pk = jax.lax.bitcast_convert_type(pk_s, jnp.int32)
     ti = (pk >> 16) & 0xFFFF
     tj = pk & 0xFFFF
@@ -244,12 +248,16 @@ def _group_pairs(packed, npairs, W: int, S_cap: int, T_pad: int):
     a_idx = jnp.zeros((S_cap,), jnp.int32).at[a_dst].set(ti, mode="drop")
     b_dst = jnp.where(valid, gid * W + pos % W, S_cap * W)
     b_idx = jnp.full((S_cap * W,), T_pad, jnp.int32
-                     ).at[b_dst].set(tj, mode="drop")
+                     ).at[b_dst].set(tj | (band_s << 16), mode="drop")
     return a_idx, b_idx, nsteps
 
 
 def _tiled_fields(bvh: BVH, G: int):
-    """Tile the sorted leaf fields to (T, G) plus padded tile AABBs."""
+    """Tile the sorted leaf fields to (T, G) plus padded tile AABBs and
+    per-(G/N_BANDS)-leaf sub-band AABBs (tuples of (T, N_BANDS), used by
+    the phase-1b band-bit kernel, ops/subtile.py)."""
+    from ..ops.tile_contact import N_BANDS
+
     vol = bvh.leaves.volume
     n = bvh.num_leaves
     T = -(-n // G)
@@ -277,7 +285,12 @@ def _tiled_fields(bvh: BVH, G: int):
 
     tile_lo = tuple(b.min(axis=1) for b in blos)
     tile_up = tuple(b.max(axis=1) for b in bups)
-    return fields, sphere, tile_lo, tile_up, T
+    # ±inf (not NaN) padding keeps partial trailing sub-bands exact
+    sub_lo = tuple(b.reshape(T, N_BANDS, G // N_BANDS).min(axis=2)
+                   for b in blos)
+    sub_up = tuple(b.reshape(T, N_BANDS, G // N_BANDS).max(axis=2)
+                   for b in bups)
+    return fields, sphere, tile_lo, tile_up, sub_lo, sub_up, T
 
 
 def _extract_contacts(slots, counts, leaf_index, narrow_mask_fn,
@@ -380,12 +393,14 @@ def traverse_tiles_fixed(bvh: BVH, capacity: int, *,
     if interpret is None:
         interpret = _use_interpret()
 
-    fields, sphere, tile_lo, tile_up, T = _tiled_fields(bvh, G)
+    fields, sphere, tile_lo, tile_up, sub_lo, sub_up, T = \
+        _tiled_fields(bvh, G)
     if T >= 1 << 16:
         raise ValueError("tile count exceeds 65536; raise the tile size")
     if pair_capacity is None:
         pair_capacity = _pair_capacity_for(T)
-    packed, npairs = _phase1_tile_pairs(tile_lo, tile_up, G, pair_capacity)
+    packed, band, npairs = _phase1_tile_pairs(
+        tile_lo, tile_up, sub_lo, sub_up, G, pair_capacity)
     pair_overflow = npairs > pair_capacity
 
     # regroup by shared a-tile for the grouped wide kernel; chunk the steps
@@ -393,7 +408,7 @@ def traverse_tiles_fixed(bvh: BVH, capacity: int, *,
     W = 8
     CHUNK = 1 << 14
     S_cap = -(-(pair_capacity // W + T) // CHUNK) * CHUNK
-    a_idx, b_idx, nsteps = _group_pairs(packed, npairs, W, S_cap, T)
+    a_idx, b_idx, nsteps = _group_pairs(packed, band, npairs, W, S_cap, T)
     pair_overflow |= nsteps > S_cap
 
     slot_parts, cnt_parts = [], []
@@ -571,8 +586,8 @@ def traverse_tiles_pair_fixed(bvh1: BVH, bvh2: BVH, capacity: int, *,
         raise NotImplementedError(
             "tile pair traversal requires matching leaf volume kinds")
 
-    f1, sphere, tlo1, tup1, T1 = _tiled_fields(bvh1, G)
-    f2, _, tlo2, tup2, T2 = _tiled_fields(bvh2, G)
+    f1, sphere, tlo1, tup1, _, _, T1 = _tiled_fields(bvh1, G)
+    f2, _, tlo2, tup2, _, _, T2 = _tiled_fields(bvh2, G)
     if max(T1, T2) >= 1 << 16:
         raise ValueError("tile count exceeds 65536; raise the tile size")
     if pair_capacity is None:
