@@ -66,7 +66,7 @@ def main():
     def step(q1, q2, q3):
         spheres = ib.bsphere_from_triangles(q1, q2, q3)
         bvh = ib.build(spheres, ib.BBox)
-        total, contacts, overflow = traverse_tiles_fixed(
+        total, contacts, overflow, _nc = traverse_tiles_fixed(
             bvh, capacity, alg=alg, pair_capacity=pair_capacity)
         # consume the contact buffer so no stage can be dead-code-eliminated
         checksum = contacts.sum(dtype=jnp.int32)

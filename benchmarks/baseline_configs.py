@@ -69,7 +69,7 @@ def config2():
     @jax.jit
     def step(p1, p2, p3):
         bvh = ib.build(ib.bsphere_from_triangles(p1, p2, p3), ib.BBox)
-        total, contacts, _ = traverse_tiles_fixed(
+        total, contacts, _, _nc = traverse_tiles_fixed(
             bvh, 1 << 18, alg=TileTraversal(row_cap=8, pair_cap=64))
         # returning the checksum keeps extraction from being DCE'd
         return total, contacts.sum(dtype=jnp.int32)
@@ -95,7 +95,7 @@ def config3():
 
         @jax.jit
         def rays_tiles(p, d):
-            total, contacts, ov = traverse_rays_tiles_fixed(bvh, p, d,
+            total, contacts, ov, _nc = traverse_rays_tiles_fixed(bvh, p, d,
                                                             capacity=cap)
             return total, ov, contacts.sum(dtype=jnp.int32)
 
@@ -128,7 +128,7 @@ def config4():
     def pair(a1, a2, a3, b1, b2, b3):
         bvh1 = ib.build(ib.bsphere_from_triangles(a1, a2, a3), ib.BBox)
         bvh2 = ib.build(ib.bsphere_from_triangles(b1, b2, b3), ib.BBox)
-        total, contacts, _ = traverse_tiles_pair_fixed(bvh1, bvh2, 1 << 17)
+        total, contacts, _, _nc = traverse_tiles_pair_fixed(bvh1, bvh2, 1 << 17)
         return total, contacts.sum(dtype=jnp.int32)
 
     dt, (total, _) = timed_fetch(pair, a1, a2, a3, b1, b2, b3)
@@ -161,7 +161,7 @@ def config5():
     @jax.jit
     def step(x, r):
         bvh = ib.build(ib.BSphere(x, r), ib.BBox)
-        total, contacts, overflow = traverse_tiles_fixed(
+        total, contacts, overflow, _nc = traverse_tiles_fixed(
             bvh, 1 << 18, alg=TileTraversal(pair_cap=32))
         checksum = contacts.sum(dtype=jnp.int32)
         return x + v, total, overflow, checksum  # checksum defeats DCE
@@ -192,7 +192,7 @@ def config6():
     @jax.jit
     def t_tiles(p1, p2, p3):
         b = ib.build(ib.bsphere_from_triangles(p1, p2, p3), ib.BBox)
-        total, contacts, _ = traverse_tiles_fixed(
+        total, contacts, _, _nc = traverse_tiles_fixed(
             b, 1 << 16, alg=TileTraversal(row_cap=8, pair_cap=64))
         return total, contacts.sum(dtype=jnp.int32)
 

@@ -113,7 +113,7 @@ def main():
     def s_full(q1, q2, q3):
         s = ib.bsphere_from_triangles(q1, q2, q3)
         bvh = ib.build(s, ib.BBox)
-        total, contacts, overflow = traverse_tiles_fixed(
+        total, contacts, overflow, _nc = traverse_tiles_fixed(
             bvh, capacity, alg=alg, pair_capacity=pair_capacity)
         return (total.astype(jnp.float32) +
                 1e-9 * contacts.sum(dtype=jnp.int32).astype(jnp.float32))
@@ -123,7 +123,7 @@ def main():
     # inflated counts 5x while every checksum-only timing looked fine)
     s = ib.bsphere_from_triangles(p1, p2, p3)
     bvh = ib.build(s, ib.BBox)
-    total, contacts, ov = traverse_tiles_fixed(
+    total, contacts, ov, _nc = traverse_tiles_fixed(
         bvh, capacity, alg=alg, pair_capacity=pair_capacity)
     assert int(ov) == 0, f"overflow bits {int(ov)}"
     import numpy as _np

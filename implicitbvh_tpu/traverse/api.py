@@ -23,8 +23,14 @@ from . import lvt as _lvt
 
 
 def default_start_level(bvh: BVH, alg: TraversalAlgorithm = LVTTraversal()) -> int:
-    """Ref: breadth_first.jl:4-6 and leaf_vs_tree.jl:4-6."""
-    if isinstance(alg, BFSTraversal):
+    """Ref: breadth_first.jl:4-6 and leaf_vs_tree.jl:4-6.
+
+    DFS also takes the deep BFS-style default: its lane count equals the
+    initial BVTT width, so starting at level 1 would serialize the whole
+    pair tree onto a single lane's stack walk.
+    """
+    from .dfs import DFSTraversal
+    if isinstance(alg, (BFSTraversal, DFSTraversal)):
         return max(bvh.tree.levels // 2, bvh.built_level)
     return max(1, bvh.built_level)
 

@@ -179,9 +179,11 @@ def traverse_rays_tiles_fixed(bvh: BVH, points, directions, capacity: int, *,
     """Fully-traced fixed-capacity tile ray traversal.
 
     ``points``/``directions`` are (3, N) ray matrices.  Returns
-    ``(total, contacts, overflow)`` with contacts as (leaf_user_index, iray)
-    pairs (1-based ray indices); ``overflow`` signals a static capacity was
-    exceeded and the :func:`traverse_rays_tiles` wrapper must grow."""
+    ``(total, contacts, overflow, num_checks)`` with contacts as
+    (leaf_user_index, iray) pairs (1-based ray indices); ``overflow``
+    signals a static capacity was exceeded and the
+    :func:`traverse_rays_tiles` wrapper must grow; ``num_checks`` counts
+    the ray-leaf intersection tests executed (live bands x band size)."""
     from ..ops.tile_contact import tile_group_contacts
     from ..raytrace import _prep_rays  # lazy: avoids an import cycle
 
@@ -258,7 +260,10 @@ def traverse_rays_tiles_fixed(bvh: BVH, points, directions, capacity: int, *,
     # (grow row_cap/pair_cap) — the wrappers grow only what overflowed
     overflow = (jnp.where(pair_overflow | (total > capacity), 1, 0)
                 | jnp.where(slot_overflow, 2, 0))
-    return total, contacts, overflow
+    from ..ops.tile_contact import N_BANDS
+    num_checks = jnp.sum(jax.lax.population_count(b_idx >> 16)) \
+        * (G // N_BANDS) * G
+    return total, contacts, overflow, num_checks
 
 
 def traverse_rays_tiles(bvh: BVH, points, directions, *,
@@ -289,13 +294,14 @@ def traverse_rays_tiles(bvh: BVH, points, directions, *,
         pair_capacity = max(
             ((RT * RAY_CANDS_PER_RAY_TILE + 8191) // 8192) * 8192, 8192)
     for _ in range(8):
-        total, contacts, overflow = traverse_rays_tiles_fixed(
+        total, contacts, overflow, num_checks = traverse_rays_tiles_fixed(
             bvh, points, directions, capacity, alg=alg,
             pair_capacity=pair_capacity, narrow=narrow)
         ov = int(overflow)
         if ov == 0:
             return BVHTraversal(num_contacts=int(total), cache1=contacts,
                                 cache2=jnp.zeros((0,), idt), start_level1=1,
+                                num_checks=int(num_checks),
                                 pair_capacity=pair_capacity, tile_alg=alg)
         if ov & 1:
             capacity *= 2

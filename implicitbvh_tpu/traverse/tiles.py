@@ -381,10 +381,13 @@ def traverse_tiles_fixed(bvh: BVH, capacity: int, *,
                          interpret: Optional[bool] = None):
     """Fully-traced fixed-capacity tile self-contact traversal.
 
-    Returns ``(total, contacts, overflow)``; ``overflow`` signals that a
-    static capacity (pair list, per-pair slots, or contact buffer) was
-    exceeded and results are incomplete — the :func:`traverse_tiles`
-    wrapper grows and re-runs.
+    Returns ``(total, contacts, overflow, num_checks)``; ``overflow``
+    signals that a static capacity (pair list, per-pair slots, or contact
+    buffer) was exceeded and results are incomplete — the
+    :func:`traverse_tiles` wrapper grows and re-runs.  ``num_checks`` is
+    the number of leaf-pair contact tests the kernel executes (live bands
+    x band size — the tile engine's analogue of the reference's traversal
+    self-metric, ref traverse.jl:48,59).
     """
     from ..ops.tile_contact import tile_group_contacts
 
@@ -444,7 +447,12 @@ def traverse_tiles_fixed(bvh: BVH, capacity: int, *,
     # (grow row_cap/pair_cap) — the wrappers grow only what overflowed
     overflow = (jnp.where(pair_overflow | (total > capacity), 1, 0)
                 | jnp.where(slot_overflow, 2, 0))
-    return total, contacts, overflow
+    from ..ops.tile_contact import N_BANDS
+    lanep = jnp.arange(band.shape[0], dtype=jnp.int32)
+    num_checks = jnp.sum(
+        jnp.where(lanep < npairs, jax.lax.population_count(band), 0)
+    ) * (G // N_BANDS) * G
+    return total, contacts, overflow, num_checks
 
 
 def traverse_tiles(bvh: BVH, *, alg: "TileTraversal" = None, narrow=None,
@@ -475,13 +483,14 @@ def traverse_tiles(bvh: BVH, *, alg: "TileTraversal" = None, narrow=None,
         T = -(-bvh.num_leaves // alg.tile)
         pair_capacity = _pair_capacity_for(T)
     for _ in range(8):
-        total, contacts, overflow = traverse_tiles_fixed(
+        total, contacts, overflow, num_checks = traverse_tiles_fixed(
             bvh, capacity, alg=alg, pair_capacity=pair_capacity,
             narrow=narrow)
         ov = int(overflow)
         if ov == 0:
             return BVHTraversal(num_contacts=int(total), cache1=contacts,
                                 cache2=jnp.zeros((0,), idt), start_level1=1,
+                                num_checks=int(num_checks),
                                 pair_capacity=pair_capacity, tile_alg=alg)
         if ov & 1:                       # buffer capacity overflow
             capacity *= 2
@@ -570,7 +579,7 @@ def traverse_tiles_pair_fixed(bvh1: BVH, bvh2: BVH, capacity: int, *,
                               interpret: Optional[bool] = None):
     """Fully-traced fixed-capacity two-BVH tile traversal.
 
-    Returns ``(total, contacts, overflow)``; contacts are tree-order
+    Returns ``(total, contacts, overflow, num_checks)``; contacts are tree-order
     (index-in-bvh1, index-in-bvh2) pairs including symmetric and (i, i)
     pairs — the reference's pair-traversal semantics
     (ref traverse_pair_cpu.jl:615-645).  Both BVHs must have the same leaf
@@ -630,7 +639,8 @@ def traverse_tiles_pair_fixed(bvh1: BVH, bvh2: BVH, capacity: int, *,
     # (grow row_cap/pair_cap) — the wrappers grow only what overflowed
     overflow = (jnp.where(pair_overflow | (total > capacity), 1, 0)
                 | jnp.where(slot_overflow, 2, 0))
-    return total, contacts, overflow
+    num_checks = jnp.minimum(npairs, pair_capacity) * (G * G)
+    return total, contacts, overflow, num_checks
 
 
 def traverse_tiles_pair(bvh1: BVH, bvh2: BVH, *, alg: "TileTraversal" = None,
@@ -656,14 +666,15 @@ def traverse_tiles_pair(bvh1: BVH, bvh2: BVH, *, alg: "TileTraversal" = None,
             (-(-bvh2.num_leaves // alg.tile))
         pair_capacity = _pair_capacity_for(T // 2)
     for _ in range(8):
-        total, contacts, overflow = traverse_tiles_pair_fixed(
+        total, contacts, overflow, num_checks = traverse_tiles_pair_fixed(
             bvh1, bvh2, capacity, alg=alg, pair_capacity=pair_capacity,
             narrow=narrow)
         ov = int(overflow)
         if ov == 0:
             return BVHTraversal(num_contacts=int(total), cache1=contacts,
                                 cache2=jnp.zeros((0,), idt), start_level1=1,
-                                start_level2=1, pair_capacity=pair_capacity,
+                                start_level2=1, num_checks=int(num_checks),
+                                pair_capacity=pair_capacity,
                                 tile_alg=alg)
         if ov & 1:
             capacity *= 2

@@ -59,6 +59,21 @@ def test_dfs_narrow_and_lvt_equivalence():
             sorted(map(tuple, b.contacts_list())))
 
 
+def test_dfs_default_start_level_is_deep():
+    """The default routes DFS to the BFS-style levels//2 rule: at level 1
+    the initial BVTT is one lane and the whole pair tree serializes onto a
+    single stack walk (VERDICT r2 weak #5)."""
+    from implicitbvh_tpu.traverse import default_start_level
+    vol = _spheres(2000, seed=5, r=0.25)
+    bvh = ib.build(vol, ib.BBox)
+    assert default_start_level(bvh, DFSTraversal()) == \
+        max(bvh.tree.levels // 2, bvh.built_level)
+    t = traverse(bvh, DFSTraversal())
+    lvt = traverse(bvh, LVTTraversal())
+    assert (sorted(map(tuple, t.contacts_list())) ==
+            sorted(map(tuple, lvt.contacts_list())))
+
+
 def test_dfs_sphere_leaves_to_sphere_nodes():
     vol = _spheres(60, seed=3, r=0.9)
     bvh = ib.build(vol, ib.BSphere)      # non-default node kind

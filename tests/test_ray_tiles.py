@@ -97,13 +97,13 @@ def test_ray_tiles_fixed_overflow_flag():
     xs, rs = random_scene(64, 9, scale=2.0)
     p, d = random_rays(32, 10, scale=2.0)
     bvh = ib.build(ib.BSphere(jnp.asarray(xs), jnp.asarray(rs)), ib.BBox)
-    total, contacts, overflow = traverse_rays_tiles_fixed(bvh, p, d, 4)
+    total, contacts, overflow, _nc = traverse_rays_tiles_fixed(bvh, p, d, 4)
     if int(total) > 4:
         assert bool(overflow)
     # dense scene: raise the per-pair slot caps so only the output capacity
     # matters, then check exact parity of the valid prefix
     big = TileTraversal(row_cap=64, pair_cap=2048)
-    total2, contacts2, overflow2 = traverse_rays_tiles_fixed(
+    total2, contacts2, overflow2, _nc2 = traverse_rays_tiles_fixed(
         bvh, p, d, 1 << 12, alg=big)
     assert not bool(overflow2)
     ref = contacts_set(traverse_rays(bvh, p, d))

@@ -34,6 +34,10 @@ def test_tiles_differential_sphere_leaves():
     bvh = ib.build(sp, ib.BBox)
     t = traverse_tiles(bvh, alg=TileTraversal(tile=32))
     assert set(t.contacts_list()) == bf
+    # the tile engine reports its executed leaf-test count (live bands x
+    # band size): at least one test per contact, at most the dense total
+    assert int(t.num_checks) >= len(bf)
+    assert int(t.num_checks) <= 300 * 300
 
 
 def test_tiles_via_traverse_dispatch():
