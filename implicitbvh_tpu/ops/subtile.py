@@ -34,7 +34,7 @@ SS = 32        # tiles per supertile (matches traverse/tiles.py phase 1)
 N_BANDS = 4    # sub-bands per tile; SS * N_BANDS = 128 = one lane row
 
 
-def _bits_kernel(triangle: bool, T: int,
+def _bits_kernel(triangle: bool, Ta: int, Tb: int,
                  si_ref, sj_ref, nsp_ref,    # scalar prefetch
                  a_ref, b_ref, out_ref):
     """One supertile pair per grid step.
@@ -74,7 +74,7 @@ def _bits_kernel(triangle: bool, T: int,
         sj_p = sj_ref[p]
         tii = si_p * SS + jax.lax.broadcasted_iota(jnp.int32, (SS, 128), 0)
         tjj = sj_p * SS + jax.lax.broadcasted_iota(jnp.int32, (SS, 128), 1)
-        valid = (tii < T) & (tjj < T)
+        valid = (tii < Ta) & (tjj < Tb)
         valid &= jax.lax.broadcasted_iota(jnp.int32, (SS, 128), 1) < SS
         if triangle:
             valid &= tii <= tjj
@@ -117,26 +117,26 @@ def _pack_tiles(tile_lo, tile_up, S: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("T", "triangle", "interpret"))
+    jax.jit, static_argnames=("Ta", "Tb", "triangle", "interpret"))
 def subtile_band_bits(sub_lo, sub_up, tile_lo, tile_up, si, sj, nsp, *,
-                      T: int, triangle: bool = True,
+                      Ta: int, Tb: int, triangle: bool = True,
                       interpret: bool = False):
     """Band-bit matrices for every candidate supertile pair.
 
-    - ``sub_lo``/``sub_up``: 3-tuples of (T, N_BANDS) f32 per-sub-band
+    - ``sub_lo``/``sub_up``: 3-tuples of (Ta, N_BANDS) f32 per-sub-band
       bounds of the *a* side (lo/up per axis).
-    - ``tile_lo``/``tile_up``: 3-tuples of (T,) f32 tile bounds (*b* side).
-    - ``si``/``sj``: (SP_cap,) int32 supertile pair rows/cols.
+    - ``tile_lo``/``tile_up``: 3-tuples of (Tb,) f32 tile bounds (*b*
+      side; equal to the a side for self-contact).
+    - ``si``/``sj``: (SP_cap,) int32 supertile pair rows/cols (a/b side).
     - ``nsp``: (1,) int32 valid pair count.
 
     Returns ``bits`` (SP_cap, SS, 128) int32 — bit r of ``bits[p, i, j]``
-    set iff sub-band r of tile ``si[p]*SS+i`` overlaps tile ``sj[p]*SS+j``
-    (cols >= SS are zero).
+    set iff sub-band r of a-tile ``si[p]*SS+i`` overlaps b-tile
+    ``sj[p]*SS+j`` (cols >= SS are zero).
     """
     SP_cap = si.shape[0]
-    S = -(-T // SS)
-    a_pack = _pack_sub(sub_lo, sub_up, S)
-    b_pack = _pack_tiles(tile_lo, tile_up, S)
+    a_pack = _pack_sub(sub_lo, sub_up, -(-Ta // SS))
+    b_pack = _pack_tiles(tile_lo, tile_up, -(-Tb // SS))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -148,7 +148,7 @@ def subtile_band_bits(sub_lo, sub_up, tile_lo, tile_up, si, sj, nsp, *,
         out_specs=pl.BlockSpec((1, SS, 128), lambda p, *_: (p, 0, 0)),
     )
     return pl.pallas_call(
-        functools.partial(_bits_kernel, triangle, T),
+        functools.partial(_bits_kernel, triangle, Ta, Tb),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((SP_cap, SS, 128), jnp.int32),
         interpret=interpret,

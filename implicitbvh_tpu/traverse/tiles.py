@@ -179,7 +179,7 @@ def _phase1_tile_pairs(tile_lo, tile_up, sub_lo, sub_up, G: int, P_cap: int,
     from ..ops.subtile import subtile_band_bits
     bits = subtile_band_bits(
         sub_lo, sub_up, tile_lo, tile_up, si, sj,
-        nsp.reshape(1).astype(jnp.int32), T=T, triangle=True,
+        nsp.reshape(1).astype(jnp.int32), Ta=T, Tb=T, triangle=True,
         interpret=interpret)                     # (SP_cap, SS, 128)
     bits = bits[:, :, :SS]
 
@@ -509,10 +509,16 @@ def traverse_tiles(bvh: BVH, *, alg: "TileTraversal" = None, narrow=None,
 # Two-BVH tile traversal (dense cross-tile pass)
 # --------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("G", "P_cap"))
-def _phase1_cross_pairs(tlo1, tup1, tlo2, tup2, G: int, P_cap: int):
+@partial(jax.jit, static_argnames=("G", "P_cap", "interpret"))
+def _phase1_cross_pairs(tlo1, tup1, asub_lo, asub_up, tlo2, tup2,
+                        G: int, P_cap: int,
+                        interpret: Optional[bool] = None):
     """Cross-tile pair extraction between two tiled leaf sets: overlapping
-    (tile-of-bvh1, tile-of-bvh2) pairs — the full grid, no triangle."""
+    (tile-of-bvh1, tile-of-bvh2) pairs — the full grid, no triangle — with
+    per-pair bvh1-sub-band bits, exactly like :func:`_phase1_tile_pairs`
+    (same phase-1b kernel with ``triangle=False``, same compactor)."""
+    if interpret is None:
+        interpret = _use_interpret()
     T1 = tlo1[0].shape[0]
     T2 = tlo2[0].shape[0]
     SS = 32
@@ -530,44 +536,47 @@ def _phase1_cross_pairs(tlo1, tup1, tlo2, tup2, G: int, P_cap: int):
         tu = tuple(padt(c, -jnp.inf) for c in tu)
         slo = tuple(c.reshape(S, SS).min(1) for c in tl)
         sup = tuple(c.reshape(S, SS).max(1) for c in tu)
-        return tl, tu, slo, sup, S
+        return slo, sup, S
 
-    tl1, tu1, slo1, sup1, S1 = prep(tlo1, tup1)
-    tl2, tu2, slo2, sup2, S2 = prep(tlo2, tup2)
+    slo1, sup1, S1 = prep(tlo1, tup1)
+    slo2, sup2, S2 = prep(tlo2, tup2)
 
     # level A: full S1 x S2 supertile overlap grid
     ovA = _overlap(slo1, sup1, slo2, sup2)
     SP_cap = max(S1 * SUPERPAIRS_PER_SUPERTILE,
                  S2 * SUPERPAIRS_PER_SUPERTILE, 1024, P_cap // 64)
+    SP_cap = -(-SP_cap // 16) * 16
     kA = jnp.arange(S1 * S2, dtype=jnp.int32)
-    spacked, nsp = _compact_flat(
-        ovA.reshape(-1), (kA // S2) * S2 * SS + (kA % S2) * SS, SP_cap)
+    spacked, nsp = _compact_flat(ovA.reshape(-1), kA, SP_cap)
     sp_overflow = nsp > SP_cap
-    si_base = spacked // (S2 * SS) * SS
-    sj_base = spacked % (S2 * SS)
+    si = spacked // S2
+    sj = spacked % S2
 
-    # level B: SS x SS cross tile tests per supertile pair, SP_cap on lanes
-    k_in = jnp.arange(SS, dtype=jnp.int32)
-    ti_g = k_in[:, None] + si_base[None, :]
-    tj_g = k_in[:, None] + sj_base[None, :]
-    a_lo = tuple(c[ti_g] for c in tl1)
-    a_up = tuple(c[ti_g] for c in tu1)
-    b_lo = tuple(c[tj_g] for c in tl2)
-    b_up = tuple(c[tj_g] for c in tu2)
-    ovB = _overlap(a_lo, a_up, b_lo, b_up,
-                   bc=lambda x: x[:, None, :], br=lambda x: x[None, :, :])
-    tii = ti_g[:, None, :]
-    tjj = tj_g[None, :, :]
-    ovB &= (tii < T1) & (tjj < T2)
-    sp_lane = jnp.arange(SP_cap, dtype=jnp.int32)
-    ovB &= (sp_lane < nsp)[None, None, :]
+    # level B (phase 1b): bvh1-sub-band bits vs bvh2 tiles, full grid
+    from ..ops.subtile import subtile_band_bits
+    bits = subtile_band_bits(
+        asub_lo, asub_up, tlo2, tup2, si, sj,
+        nsp.reshape(1).astype(jnp.int32), Ta=T1, Tb=T2, triangle=False,
+        interpret=interpret)                     # (SP_cap, SS, 128)
+    bits = bits[:, :, :SS]
 
-    packed_val = ((tii << 16) | tjj)
-    flat = ovB.reshape(-1)
-    vals = jnp.broadcast_to(packed_val, (SS, SS, SP_cap)).reshape(-1)
-    packed, npairs = _compact_flat(flat, vals, P_cap)
-    npairs = jnp.where(sp_overflow, P_cap + 1, npairs)
-    return packed, npairs
+    bits_t = jnp.transpose(bits, (1, 2, 0))      # (SS_i, SS_j, SP_cap)
+    ovB_t = (bits_t > 0).reshape(-1)
+    k_i = jax.lax.broadcasted_iota(jnp.int32, (SS, SS, SP_cap), 0)
+    k_j = jax.lax.broadcasted_iota(jnp.int32, (SS, SS, SP_cap), 1)
+    tii_t = (si * SS)[None, None, :] + k_i
+    tjj_t = ((sj * SS)[None, None, :] + k_j) | (bits_t << 16)
+
+    from ..ops.compaction import finish_compact, tile_compact
+    cap_c = max(2048, P_cap // 116)
+    slots, counts, c_over = tile_compact(
+        ovB_t, (tii_t.reshape(-1), tjj_t.reshape(-1)),
+        cap=cap_c, row_cap=128, interpret=interpret)
+    (out_ti, out_tjb), npairs = finish_compact(slots, counts, P_cap)
+    packed = (out_ti << 16) | (out_tjb & 0xFFFF)
+    band = out_tjb >> 16
+    npairs = jnp.where(sp_overflow | c_over, P_cap + 1, npairs)
+    return packed, band, npairs
 
 
 @partial(jax.jit, static_argnames=("capacity", "alg", "pair_capacity",
@@ -585,7 +594,7 @@ def traverse_tiles_pair_fixed(bvh1: BVH, bvh2: BVH, capacity: int, *,
     (ref traverse_pair_cpu.jl:615-645).  Both BVHs must have the same leaf
     volume kind.
     """
-    from ..ops.tile_contact import tile_pair_contacts
+    from ..ops.tile_contact import tile_group_contacts
 
     alg = alg or TileTraversal()
     G = alg.tile
@@ -595,27 +604,35 @@ def traverse_tiles_pair_fixed(bvh1: BVH, bvh2: BVH, capacity: int, *,
         raise NotImplementedError(
             "tile pair traversal requires matching leaf volume kinds")
 
-    f1, sphere, tlo1, tup1, _, _, T1 = _tiled_fields(bvh1, G)
+    f1, sphere, tlo1, tup1, asub_lo, asub_up, T1 = _tiled_fields(bvh1, G)
     f2, _, tlo2, tup2, _, _, T2 = _tiled_fields(bvh2, G)
     if max(T1, T2) >= 1 << 16:
         raise ValueError("tile count exceeds 65536; raise the tile size")
     if pair_capacity is None:
         pair_capacity = _pair_capacity_for((T1 + T2) // 2)
-    packed, npairs = _phase1_cross_pairs(tlo1, tup1, tlo2, tup2, G,
-                                         pair_capacity)
+    packed, band, npairs = _phase1_cross_pairs(
+        tlo1, tup1, asub_lo, asub_up, tlo2, tup2, G, pair_capacity)
     pair_overflow = npairs > pair_capacity
 
-    CHUNK = 1 << 17
+    # regroup by shared bvh1 tile for the grouped wide kernel, exactly as
+    # the self-contact path (shared a-tile DMA + banded mask skipping)
+    W = 8
+    CHUNK = 1 << 14
+    S_cap = -(-(pair_capacity // W + T1) // CHUNK) * CHUNK
+    a_idx, b_idx, nsteps = _group_pairs(packed, band, npairs, W, S_cap, T2)
+    pair_overflow |= nsteps > S_cap
+
     slot_parts, cnt_parts = [], []
     slot_overflow = jnp.zeros((), jnp.bool_)
-    for start in range(0, pair_capacity, CHUNK):
-        sub = packed[start:start + CHUNK]
-        np_c = jnp.clip(npairs - start, 0, sub.shape[0])
-        slots_c, cnt_c, ov_c = tile_pair_contacts(
-            sub, np_c.reshape(1).astype(jnp.int32), f1, f2,
-            mask_kind="sphere" if sphere else "box", G=G,
-            ROW_CAP=alg.row_cap,
-            CAP_PAIR=alg.pair_cap, dedup=False, interpret=interpret)
+    for start in range(0, S_cap, CHUNK):
+        ns_c = jnp.clip(nsteps - start, 0, CHUNK)
+        slots_c, cnt_c, ov_c = tile_group_contacts(
+            a_idx[start:start + CHUNK],
+            b_idx[start * W:(start + CHUNK) * W],
+            ns_c.reshape(1).astype(jnp.int32), f1, f2,
+            mask_kind="sphere" if sphere else "box", G=G, W=W,
+            ROW_CAP=alg.row_cap, CAP_PAIR=alg.pair_cap,
+            dedup=False, interpret=interpret)
         slot_parts.append(slots_c)
         cnt_parts.append(cnt_c)
         slot_overflow = slot_overflow | ov_c
@@ -639,7 +656,11 @@ def traverse_tiles_pair_fixed(bvh1: BVH, bvh2: BVH, capacity: int, *,
     # (grow row_cap/pair_cap) — the wrappers grow only what overflowed
     overflow = (jnp.where(pair_overflow | (total > capacity), 1, 0)
                 | jnp.where(slot_overflow, 2, 0))
-    num_checks = jnp.minimum(npairs, pair_capacity) * (G * G)
+    from ..ops.tile_contact import N_BANDS
+    lanep = jnp.arange(band.shape[0], dtype=jnp.int32)
+    num_checks = jnp.sum(
+        jnp.where(lanep < npairs, jax.lax.population_count(band), 0)
+    ) * (G // N_BANDS) * G
     return total, contacts, overflow, num_checks
 
 
