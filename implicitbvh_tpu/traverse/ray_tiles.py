@@ -203,14 +203,14 @@ def traverse_rays_tiles_fixed(bvh: BVH, points, directions, capacity: int, *,
         raise ValueError("tile count exceeds 65536; raise the tile size")
 
     W = 8
-    CHUNK = 1 << 14                # steps per kernel call (SMEM-bounded)
     if pair_capacity is None:
         # measured density: ~420 candidate leaf tiles per 128-ray block for
         # fully random rays (growth wrapper covers heavier scenes)
         pair_capacity = max(
             ((RT * RAY_CANDS_PER_RAY_TILE + 8191) // 8192) * 8192, 8192)
     # each ray tile can leave one partially-filled W-group
-    S_cap = -(-(pair_capacity // W + RT) // CHUNK) * CHUNK
+    from .tiles import _step_caps
+    S_cap, CHUNK = _step_caps(pair_capacity // W + RT)
     a_idx, b_idx, nsteps = _phase1_ray_tile_groups(
         rfields, tile_lo, tile_up, W, S_cap)
     pair_overflow = nsteps > S_cap

@@ -72,6 +72,21 @@ def _pair_capacity_for(num_tiles: int) -> int:
     return max(((num_tiles * PAIRS_PER_TILE + 8191) // 8192) * 8192, 8192)
 
 
+def _step_caps(need: int):
+    """(S_cap, CHUNK) for the grouped kernel's step grid.
+
+    Steps are chunked so the prefetched index arrays fit in SMEM (1 MB);
+    small scenes get a right-sized single chunk instead of padding to the
+    16384-step SMEM ceiling (padded steps still cost a grid iteration each
+    — at 65k leaves the old fixed floor wasted ~90% of the grid).
+    """
+    CH_MAX = 1 << 14
+    if need <= CH_MAX:
+        s = max(256, -(-need // 256) * 256)
+        return s, s
+    return -(-need // CH_MAX) * CH_MAX, CH_MAX
+
+
 def _grow_alg(alg: "TileTraversal") -> "TileTraversal":
     """4x slot-cap growth under the VMEM ceilings."""
     return TileTraversal(tile=alg.tile,
@@ -166,7 +181,7 @@ def _phase1_tile_pairs(tile_lo, tile_up, sub_lo, sub_up, G: int, P_cap: int,
         jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
     # scale with P_cap so the wrapper's growth loop also grows this level;
     # multiple of 16 so the level-B mask is mega-tile aligned
-    SP_cap = max(S * SUPERPAIRS_PER_SUPERTILE, 1024, P_cap // 64)
+    SP_cap = max(S * SUPERPAIRS_PER_SUPERTILE, 64, P_cap // 64)
     SP_cap = -(-SP_cap // 16) * 16
     kA = jnp.arange(S * S, dtype=jnp.int32)
     spacked, nsp = _compact_flat(ovA.reshape(-1), kA, SP_cap)
@@ -406,11 +421,9 @@ def traverse_tiles_fixed(bvh: BVH, capacity: int, *,
         tile_lo, tile_up, sub_lo, sub_up, G, pair_capacity)
     pair_overflow = npairs > pair_capacity
 
-    # regroup by shared a-tile for the grouped wide kernel; chunk the steps
-    # so the prefetched indices fit in SMEM (1 MB)
+    # regroup by shared a-tile for the grouped wide kernel
     W = 8
-    CHUNK = 1 << 14
-    S_cap = -(-(pair_capacity // W + T) // CHUNK) * CHUNK
+    S_cap, CHUNK = _step_caps(pair_capacity // W + T)
     a_idx, b_idx, nsteps = _group_pairs(packed, band, npairs, W, S_cap, T)
     pair_overflow |= nsteps > S_cap
 
@@ -475,7 +488,10 @@ def traverse_tiles(bvh: BVH, *, alg: "TileTraversal" = None, narrow=None,
             and cache.cache1.shape[0] > 0:
         capacity = cache.cache1.shape[0]
     else:
-        capacity = max(options.min_capacity, 4 * bvh.num_leaves)
+        # ~18x headroom over measured unit-density contact counts
+        # (0.055 contacts/leaf at 1M); the growth loop covers denser scenes
+        # and extraction cost scales with this capacity
+        capacity = max(options.min_capacity, bvh.num_leaves)
         capacity = 1 << math.ceil(math.log2(capacity))
     if cache is not None and cache.pair_capacity > 0:
         pair_capacity = cache.pair_capacity
@@ -544,7 +560,7 @@ def _phase1_cross_pairs(tlo1, tup1, asub_lo, asub_up, tlo2, tup2,
     # level A: full S1 x S2 supertile overlap grid
     ovA = _overlap(slo1, sup1, slo2, sup2)
     SP_cap = max(S1 * SUPERPAIRS_PER_SUPERTILE,
-                 S2 * SUPERPAIRS_PER_SUPERTILE, 1024, P_cap // 64)
+                 S2 * SUPERPAIRS_PER_SUPERTILE, 64, P_cap // 64)
     SP_cap = -(-SP_cap // 16) * 16
     kA = jnp.arange(S1 * S2, dtype=jnp.int32)
     spacked, nsp = _compact_flat(ovA.reshape(-1), kA, SP_cap)
@@ -617,8 +633,7 @@ def traverse_tiles_pair_fixed(bvh1: BVH, bvh2: BVH, capacity: int, *,
     # regroup by shared bvh1 tile for the grouped wide kernel, exactly as
     # the self-contact path (shared a-tile DMA + banded mask skipping)
     W = 8
-    CHUNK = 1 << 14
-    S_cap = -(-(pair_capacity // W + T1) // CHUNK) * CHUNK
+    S_cap, CHUNK = _step_caps(pair_capacity // W + T1)
     a_idx, b_idx, nsteps = _group_pairs(packed, band, npairs, W, S_cap, T2)
     pair_overflow |= nsteps > S_cap
 
