@@ -21,7 +21,7 @@ Tree shape, per-level offsets and the skips table are all jit-static
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, NamedTuple, Optional, Tuple, Union
+from typing import NamedTuple, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -301,6 +301,16 @@ def build(bounding_volumes: Union[Volume, Leaves],
     call inside ``jax.jit`` for fused, sync-free rebuilds.
     """
     del cache  # buffer reuse is handled by XLA donation under jit
+
+    if options.index_bits == 64 and not jax.config.jax_enable_x64:
+        # without x64, jnp silently narrows int64 -> int32: a user asking
+        # for 64-bit indices on a > 2^31-pair workload would get silent
+        # wraparound rather than a loud failure
+        raise ValueError(
+            "BVHOptions(index_bits=64) requires jax_enable_x64 "
+            "(jax.config.update('jax_enable_x64', True)); note the TPU "
+            "backend itself has no native int64 — prefer 32-bit indices "
+            "on-device")
 
     if isinstance(bounding_volumes, Leaves):
         leaves = bounding_volumes

@@ -77,6 +77,8 @@ def morton_split3_u64(v):
 
 
 def morton_split3(v, bits: int):
+    """Spread an integer's low bits two apart for 3D interleaving — the
+    reference's per-width magic-mask cascades (ref default.jl:118-157)."""
     if bits == 16:
         return morton_split3_u16(v)
     if bits == 32:

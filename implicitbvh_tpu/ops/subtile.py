@@ -66,9 +66,13 @@ def _bits_kernel(triangle: bool, Ta: int, Tb: int,
             ov = (aup >= blo) & (alo <= bup)   # (128, 128)
             band = ov if band is None else band & ov
 
+        # int32 before sublane-slicing (mask-vector slices and vector
+        # shifts are off Mosaic's well-trodden path); bit r set via
+        # multiply by the static weight
+        bandi = jnp.where(band, 1, 0)
         bits = jnp.zeros((SS, 128), jnp.int32)
         for r in range(N_BANDS):
-            bits |= band[r * SS:(r + 1) * SS, :].astype(jnp.int32) << r
+            bits = bits + bandi[r * SS:(r + 1) * SS, :] * (1 << r)
 
         si_p = si_ref[p]
         sj_p = sj_ref[p]

@@ -514,38 +514,34 @@ def _group_kernel(mask_kind: str, G: int, W: int, ROW_CAP: int,
             tj = bw & 0xFFFF
             bm = (bw >> 16) & ((1 << N_BANDS) - 1)
 
-            @pl.when(bm == 0)
-            def _(w=w):
-                out[0, w, 2 * seg:2 * seg + 128] = jnp.zeros((128,),
-                                                             jnp.float32)
+            # Mosaic compile time grows with predicated-region count, so
+            # the per-w structure keeps exactly N_BANDS + 1 branches: the
+            # scratch zero + meta write run unconditionally (pad slots
+            # have bm == 0, sum a zero scratch, and record count 0).
+            b_blk = brefs[w][0]
+            mscr[:, :] = jnp.zeros((G, G), jnp.float32)
+            for r in range(N_BANDS):
+                @pl.when(((bm >> r) & 1) != 0)
+                def _(r=r, b_blk=b_blk):
+                    m = _band_mask(mask_kind, cols, b_blk, r * BH, BH)
+                    mscr[r * BH:(r + 1) * BH, :] = m.astype(jnp.float32)
+            mi = mscr[:, :]
+            gi = ti * G + sub
+            gj = tj * G + lane
+            if dedup:
+                # self-contact: global sorted-order j > i (ref lvt
+                # traverse_single.jl:163-167)
+                mi = jnp.where(gj > gi, mi, 0.0)
+            total = jnp.sum(mi)
+            # count row (zero overflow); _pair_compact overwrites it with
+            # the real count + slot-cap overflow when contacts exist
+            out[0, w, 2 * seg:2 * seg + 128] = jnp.where(
+                meta_lane[0] == 0, total, 0.0)
 
-            @pl.when(bm != 0)
-            def _(w=w, tj=tj, bm=bm):
-                b_blk = brefs[w][0]
-                mscr[:, :] = jnp.zeros((G, G), jnp.float32)
-                for r in range(N_BANDS):
-                    @pl.when(((bm >> r) & 1) != 0)
-                    def _(r=r):
-                        m = _band_mask(mask_kind, cols, b_blk, r * BH, BH)
-                        mscr[r * BH:(r + 1) * BH, :] = m.astype(jnp.float32)
-                mi = mscr[:, :]
-                gi = ti * G + sub
-                gj = tj * G + lane
-                if dedup:
-                    # self-contact: global sorted-order j > i (ref lvt
-                    # traverse_single.jl:163-167)
-                    mi = jnp.where(gj > gi, mi, 0.0)
-                total = jnp.sum(mi)
-
-                @pl.when(total == 0.0)
-                def _(w=w):
-                    out[0, w, 2 * seg:2 * seg + 128] = jnp.zeros(
-                        (128,), jnp.float32)
-
-                @pl.when(total > 0.0)
-                def _(w=w, ti=ti, tj=tj, mi=mi, gj=gj, total=total):
-                    _pair_compact(G, ROW_CAP, CAP_PAIR, ti, tj, mi, gj,
-                                  total, meta_lane, out, w)
+            @pl.when(total > 0.0)
+            def _(w=w, ti=ti, tj=tj, mi=mi, gj=gj, total=total):
+                _pair_compact(G, ROW_CAP, CAP_PAIR, ti, tj, mi, gj,
+                              total, meta_lane, out, w)
 
 
 @functools.partial(

@@ -20,7 +20,6 @@ Design:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

@@ -12,7 +12,7 @@ reference's ``resize!``-based cache reuse.  For sync-free pipelines use the
 from __future__ import annotations
 
 import math
-from typing import Optional, Union
+from typing import Optional
 
 import jax.numpy as jnp
 

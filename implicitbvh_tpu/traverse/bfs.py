@@ -23,7 +23,6 @@ unrolls into a flat fused XLA program.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from ..build import BVH, Leaves
 from ..volumes import convert_volume, iscontact
-from .types import BVHTraversal, LVTTraversal
+from .types import BVHTraversal
 from .walk import stackless_walk
 
 

@@ -31,9 +31,9 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ..build import BVH, Leaves
+from ..build import BVH
 from ..options import DEFAULT_OPTIONS, BVHOptions
-from ..volumes import BBox, BSphere
+from ..volumes import BSphere
 from .types import BVHTraversal, TraversalAlgorithm
 
 

@@ -96,9 +96,11 @@ def test_build_traverse_with_extended_morton():
 
 
 def test_build_quality_elongated_scene():
-    """The point of extended codes: better leaf locality on non-cubic
-    scenes.  Proxy metric: mean Morton-neighbor center distance after the
-    sort must not be worse than the default codes' on a 100:1 scene."""
+    """The point of extended codes (ref extended.jl:1-27, HPG'17): strictly
+    better leaf locality on non-cubic scenes.  Proxy metric: mean
+    Morton-neighbor center distance after the sort must improve at least
+    2x over the default codes on a 100:1 scene (measured: ~9x, ratio
+    0.111)."""
     vol = _vol(4000, seed=3, stretch=(100.0, 1.0, 1.0), r=0.1)
 
     def neighbor_cost(opts):
@@ -109,4 +111,4 @@ def test_build_quality_elongated_scene():
     ext = neighbor_cost(ib.BVHOptions(
         morton=ExtendedMortonAlgorithm(bits=32, size_interval=0)))
     dflt = neighbor_cost(ib.BVHOptions())
-    assert ext <= dflt * 1.05, (ext, dflt)
+    assert ext <= dflt * 0.5, (ext, dflt)
