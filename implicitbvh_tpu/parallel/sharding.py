@@ -184,12 +184,112 @@ def sharded_rays(mesh: Mesh, bvh: BVH, points, directions,
     return fn(bvh, p_l, d_l)
 
 
+def sharded_tile_self_contact(mesh: Mesh, bvh: BVH,
+                              capacity_per_device: int, *,
+                              alg=None, narrow=None, axis: str = AXIS,
+                              interpret: Optional[bool] = None):
+    """Self-contact on the dense-tile engine with *kernel steps* sharded
+    over the mesh — the production multi-chip path (the walk-based
+    :func:`sharded_self_contact` stays as the any-density fallback; it is
+    measured ~50x slower per chip at 65k leaves).
+
+    Phase 1 (tile pairs + band bits + grouping) runs replicated — it is a
+    small fraction of the traversal — and the grouped-kernel step list is
+    split evenly across devices: each device runs the banded Pallas kernel
+    and contact extraction for its slice of steps against the replicated
+    leaf tiles, so contact work scales with mesh size while only the
+    scalar totals cross the ICI (one psum).
+
+    Returns ``(total, contacts, counts, overflow)`` exactly like
+    :func:`sharded_self_contact`: ``contacts`` is
+    ``(n_dev * capacity_per_device, 2)`` with each device's valid prefix
+    in its slice.
+    """
+    from ..ops.tile_contact import tile_group_contacts
+    from ..traverse.tiles import (TileTraversal, _extract_contacts,
+                                  _group_pairs, _pair_capacity_for,
+                                  _phase1_tile_pairs, _step_caps,
+                                  _tiled_fields)
+
+    alg = alg or TileTraversal()
+    G = alg.tile
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n_dev = mesh.shape[axis]
+
+    fields, sphere, tile_lo, tile_up, sub_lo, sub_up, T = \
+        _tiled_fields(bvh, G)
+    if T >= 1 << 16:
+        raise ValueError("tile count exceeds 65536; raise the tile size")
+    pair_capacity = _pair_capacity_for(T)
+    packed, band, npairs = _phase1_tile_pairs(
+        tile_lo, tile_up, sub_lo, sub_up, G, pair_capacity)
+    W = 8
+    S_loc, CHUNK = _step_caps(-(-(pair_capacity // W + T) // n_dev))
+    S_cap = S_loc * n_dev
+    a_idx, b_idx, nsteps = _group_pairs(packed, band, npairs, W, S_cap, T)
+    leaf_index = bvh.leaves.index
+    leaves = bvh.leaves
+
+    def local_fn(fields_rep, leaf_index_rep, leaves_rep, nsteps_rep,
+                 npairs_rep, a_loc, b_loc):
+        dev = jax.lax.axis_index(axis)
+        b_flat = b_loc.reshape(-1)
+        ns_done = jnp.clip(nsteps_rep - dev * S_loc, 0, S_loc)
+        slot_parts, cnt_parts = [], []
+        slot_overflow = jnp.zeros((), jnp.bool_)
+        for start in range(0, S_loc, CHUNK):
+            ns_c = jnp.clip(ns_done - start, 0, CHUNK)
+            slots_c, cnt_c, ov_c = tile_group_contacts(
+                a_loc[start:start + CHUNK],
+                b_flat[start * W:(start + CHUNK) * W],
+                ns_c.reshape(1).astype(jnp.int32), fields_rep,
+                mask_kind="sphere" if sphere else "box", G=G, W=W,
+                ROW_CAP=alg.row_cap, CAP_PAIR=alg.pair_cap,
+                dedup=True, interpret=interpret)
+            slot_parts.append(slots_c)
+            cnt_parts.append(cnt_c)
+            slot_overflow = slot_overflow | ov_c
+        slots = jnp.concatenate(slot_parts, axis=0)
+        counts = jnp.concatenate(cnt_parts, axis=0)
+
+        narrow_fn = None
+        if narrow is not None:
+            def narrow_fn(gi, gj):
+                la = jax.tree_util.tree_map(lambda x: x[gi], leaves_rep)
+                lb = jax.tree_util.tree_map(lambda x: x[gj], leaves_rep)
+                return narrow(la, lb)
+
+        total_d, contacts_d = _extract_contacts(
+            slots, counts, leaf_index_rep, narrow_fn, capacity_per_device)
+        over = slot_overflow | (total_d > capacity_per_device) \
+            | (npairs_rep > pair_capacity) | (nsteps_rep > S_cap)
+        overflow = jax.lax.psum(over.astype(jnp.int32), axis) > 0
+        return (jax.lax.psum(total_d, axis), contacts_d,
+                total_d.reshape(1), overflow)
+
+    fn = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(axis), P(axis)),
+        out_specs=(P(), P(axis), P(axis), P()),
+        check_vma=False,
+    )
+    return fn(fields, leaf_index, leaves, nsteps, npairs,
+              a_idx, b_idx.reshape(S_cap, W))
+
+
 def sharded_rebuild_traverse_step(mesh: Mesh, node_kind=BBox,
                                   capacity_per_device: int = 1 << 16,
-                                  axis: str = AXIS):
+                                  axis: str = AXIS, engine: str = "tiles",
+                                  alg=None):
     """The full moving-geometry step, multi-chip: rebuild the BVH from
     updated leaf spheres and run sharded self-contact — the TPU analogue of
     the reference's cache-reusing per-step rebuild loop (BASELINE config 5).
+
+    ``engine``: "tiles" (the production dense-tile kernel path; ``alg`` is
+    its TileTraversal, whose slot caps must cover the scene since this
+    fixed-shape path has no growth loop — the overflow flag reports a
+    violation) or "walk" (the any-density stackless-walk fallback).
 
     Returns a jittable ``step(x, r) -> (total, contacts, counts, overflow)``.
     """
@@ -197,6 +297,9 @@ def sharded_rebuild_traverse_step(mesh: Mesh, node_kind=BBox,
     @jax.jit
     def step(x, r):
         bvh = build(BSphere(x, r), node_kind)
+        if engine == "tiles":
+            return sharded_tile_self_contact(mesh, bvh, capacity_per_device,
+                                             alg=alg, axis=axis)
         return sharded_self_contact(mesh, bvh, capacity_per_device, axis=axis)
 
     return step

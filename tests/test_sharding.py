@@ -8,7 +8,8 @@ import pytest
 import implicitbvh_tpu as ib
 from implicitbvh_tpu.parallel import (make_mesh, sharded_rays,
                                       sharded_rebuild_traverse_step,
-                                      sharded_self_contact)
+                                      sharded_self_contact,
+                                      sharded_tile_self_contact)
 
 
 def spheres(n, seed, scale=5.0):
@@ -46,6 +47,29 @@ def test_sharded_self_contact_matches_single(mesh):
     assert got == bf
 
 
+def test_sharded_tile_self_contact_matches_single(mesh):
+    """The production multi-chip path: kernel steps sharded over the mesh,
+    banded Pallas kernel per device, contact set identical to brute force
+    and to the single-device tile engine."""
+    from implicitbvh_tpu.traverse import TileTraversal
+    xs, rs, sp = spheres(300, 7)
+    bf = brute_force(xs, rs)
+    bvh = ib.build(sp, ib.BBox)
+    total, out, counts, overflow = sharded_tile_self_contact(
+        mesh, bvh, capacity_per_device=256, alg=TileTraversal(tile=32))
+    assert not bool(overflow)
+    assert int(total) == len(bf)
+    assert int(jnp.sum(counts)) == len(bf)
+    got = set()
+    cpd = 256
+    arr = np.asarray(out)
+    cnts = np.asarray(counts)
+    for d in range(cnts.shape[0]):
+        for r in arr[d * cpd:d * cpd + int(cnts[d])]:
+            got.add(tuple(map(int, r)))
+    assert got == bf
+
+
 def test_sharded_rays_matches_single(mesh):
     rng = np.random.default_rng(1)
     xs, rs, sp = spheres(64, 2)
@@ -63,9 +87,12 @@ def test_sharded_rays_matches_single(mesh):
 
 
 def test_sharded_full_step(mesh):
+    from implicitbvh_tpu.traverse import TileTraversal
     xs, rs, sp = spheres(128, 3)
     bf = brute_force(xs, rs)
-    step = sharded_rebuild_traverse_step(mesh, capacity_per_device=256)
+    step = sharded_rebuild_traverse_step(
+        mesh, capacity_per_device=256,
+        alg=TileTraversal(tile=32, row_cap=8, pair_cap=64))
     total, out, counts, overflow = step(sp.x, sp.r)
     assert int(total) == len(bf)
     assert not bool(overflow)
