@@ -480,17 +480,16 @@ def _group_kernel(mask_kind: str, G: int, W: int, ROW_CAP: int,
     high bits (phase 1 computes which (G/N_BANDS)-leaf sub-bands of the
     a-tile can touch the b-tile, ops/subtile.py): the mask — the dominant
     kernel cost, at measured VPU peak with a 0.0016%% hit rate — is only
-    computed for live bands, via pl.when writes into a (G, G) scratch.
+    computed for live bands, via value-carrying lax.cond per band.
     Validity is still also encoded in the data (padded tiles/lanes hold
     NaN fields, whose comparisons are false).
 
     refs: a block (1, 8, G); W b blocks (1, 8, G); ONE packed output with
-    (1, W, 2*seg+128) blocks (see _seg); (G, G) f32 mask scratch.
+    (1, W, 2*seg+128) blocks (see _seg).
     """
     aref = refs[0]
     brefs = refs[1:1 + W]
     out = refs[1 + W]
-    mscr = refs[2 + W]
     seg = _seg(CAP_PAIR)
     BH = G // N_BANDS
 
@@ -507,32 +506,45 @@ def _group_kernel(mask_kind: str, G: int, W: int, ROW_CAP: int,
         cols = _acols(mask_kind, a_blk)
         ti = ai_ref[s]
         lane = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
-        sub = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
         meta_lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
         for w in range(W):
             bw = bi_ref[s * W + w]
             tj = bw & 0xFFFF
             bm = (bw >> 16) & ((1 << N_BANDS) - 1)
 
-            # Mosaic compile time grows with predicated-region count, so
-            # the per-w structure keeps exactly N_BANDS + 1 branches: the
-            # scratch zero + meta write run unconditionally (pad slots
-            # have bm == 0, sum a zero scratch, and record count 0).
+            # Value-carrying band conditionals: dead bands materialize a
+            # zeros register block instead of running the mask — no VMEM
+            # scratch round-trip, and Mosaic compile time stays bounded
+            # (N_BANDS + 1 predicated regions per w).  The dedup select and
+            # the count reduction also run per live band only: at measured
+            # ~2/4 live bands they were half the per-pair vector work when
+            # applied at (G, G).
             b_blk = brefs[w][0]
-            mscr[:, :] = jnp.zeros((G, G), jnp.float32)
-            for r in range(N_BANDS):
-                @pl.when(((bm >> r) & 1) != 0)
-                def _(r=r, b_blk=b_blk):
+
+            def band(r, b_blk=b_blk, tj=tj):
+                def live():
                     m = _band_mask(mask_kind, cols, b_blk, r * BH, BH)
-                    mscr[r * BH:(r + 1) * BH, :] = m.astype(jnp.float32)
-            mi = mscr[:, :]
-            gi = ti * G + sub
+                    if dedup:
+                        # self-contact: global sorted-order j > i (ref lvt
+                        # traverse_single.jl:163-167)
+                        gi_b = ti * G + r * BH + jax.lax.broadcasted_iota(
+                            jnp.int32, (BH, G), 0)
+                        gj_b = tj * G + jax.lax.broadcasted_iota(
+                            jnp.int32, (BH, G), 1)
+                        m = m & (gj_b > gi_b)
+                    mf = m.astype(jnp.float32)
+                    return mf, jnp.sum(mf)
+
+                return jax.lax.cond(
+                    ((bm >> r) & 1) != 0,
+                    live,
+                    lambda: (jnp.zeros((BH, G), jnp.float32),
+                             jnp.float32(0)))
+
+            parts = [band(r) for r in range(N_BANDS)]
+            mi = jnp.concatenate([p[0] for p in parts], axis=0)
+            total = sum(p[1] for p in parts)
             gj = tj * G + lane
-            if dedup:
-                # self-contact: global sorted-order j > i (ref lvt
-                # traverse_single.jl:163-167)
-                mi = jnp.where(gj > gi, mi, 0.0)
-            total = jnp.sum(mi)
             # count row (zero overflow); _pair_compact overwrites it with
             # the real count + slot-cap overflow when contacts exist
             out[0, w, 2 * seg:2 * seg + 128] = jnp.where(
@@ -607,7 +619,6 @@ def tile_group_contacts(a_idx, b_idx, nsteps, a_fields, b_fields=None, *,
         out_specs=[
             pl.BlockSpec((1, W, 2 * seg + 128), lambda s, *_: (s, 0, 0)),
         ],
-        scratch_shapes=[pltpu.VMEM((G, G), jnp.float32)],
     )
 
     kernel = functools.partial(_group_kernel, mask_kind, G, W, ROW_CAP,
