@@ -293,9 +293,10 @@ def _pair_body(mask_kind, G, ROW_CAP, CAP_PAIR,
                       meta_lane, out, row)
 
 
-def _pair_compact(G, ROW_CAP, CAP_PAIR, ti, tj, mi, gj, total, meta_lane,
-                  out, row):
-    seg = _seg(CAP_PAIR)
+def _pair_compact_rows(G, ROW_CAP, CAP_PAIR, ti, tj, mi, gj, total):
+    """In-VMEM two-level compaction of one pair's contact mask; returns
+    ``(gi_row, gj_row, over)`` with the compacted global positions in the
+    (1, CAP_PAIR) rows' leading ``total`` lanes."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
     sub = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
     # --- in-VMEM two-level compaction --------------------------------------
@@ -350,19 +351,28 @@ def _pair_compact(G, ROW_CAP, CAP_PAIR, ti, tj, mi, gj, total, meta_lane,
         acc_gj = acc_gj + oh_s * jv[s:s + 1, :]
     # sum over i (lanes) with result lane-indexed by k: ones @ acc^T as a
     # dim-1/dim-1 contraction (works for any CAP_PAIR, no transpose)
-    out[0, row, 0:CAP_PAIR] = jax.lax.dot_general(
+    gi_row = jax.lax.dot_general(
         ones_row, acc_gi, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=f32,
-        precision=jax.lax.Precision.HIGHEST)[0, :]
-    out[0, row, seg:seg + CAP_PAIR] = jax.lax.dot_general(
+        precision=jax.lax.Precision.HIGHEST)
+    gj_row = jax.lax.dot_general(
         ones_row, acc_gj, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=f32,
-        precision=jax.lax.Precision.HIGHEST)[0, :]
-
+        precision=jax.lax.Precision.HIGHEST)
     over = (total > CAP_PAIR) | jnp.any(row_cnt_lane > ROW_CAP)
+    return gi_row, gj_row, over
+
+
+def _pair_compact(G, ROW_CAP, CAP_PAIR, ti, tj, mi, gj, total, meta_lane,
+                  out, row):
+    seg = _seg(CAP_PAIR)
+    gi_row, gj_row, over = _pair_compact_rows(
+        G, ROW_CAP, CAP_PAIR, ti, tj, mi, gj, total)
+    out[0, row, 0:CAP_PAIR] = gi_row[0, :]
+    out[0, row, seg:seg + CAP_PAIR] = gj_row[0, :]
     out[0, row, 2 * seg:2 * seg + 128] = jnp.where(
         meta_lane[0] == 0, total,
-        jnp.where(meta_lane[0] == 1, over.astype(f32), 0.0))
+        jnp.where(meta_lane[0] == 1, over.astype(jnp.float32), 0.0))
 
 
 @functools.partial(
@@ -464,6 +474,280 @@ def tile_pair_contacts(packed, npairs, a_fields, b_fields=None, *,
 
 
 # ---------------------------------------------------------------------------
+# Streamed grouped kernel: dense in-kernel contact output
+# ---------------------------------------------------------------------------
+
+_STAGE_ROWS = 16       # circular VMEM stage: 2048 contacts per payload
+
+
+def _stream_flush(stage_gi, stage_gj, gi_hbm, gj_hbm, sems, cur_ref,
+                  CAPROWS: int):
+    """Flush 8 aligned stage rows (1024 contacts) to the HBM streams.
+
+    ``cur_ref``: SMEM [cursor, flushed_rows, overflow].  Flushed rows are
+    always a multiple of 8, so the circular-stage source slice (16 rows)
+    never wraps and the HBM destination offset stays (8, 128)-tile-aligned
+    (manual DMA alignment rule).  A flush past CAPROWS is dropped and
+    flagged — the host wrapper grows the capacity and re-runs.
+    """
+    fr = cur_ref[1]
+    src = jax.lax.rem(fr, jnp.int32(_STAGE_ROWS))
+    ok = fr + 8 <= CAPROWS
+
+    @pl.when(ok)
+    def _():
+        c1 = pltpu.make_async_copy(stage_gi.at[pl.ds(src, 8), :],
+                                   gi_hbm.at[pl.ds(fr, 8), :], sems.at[0])
+        c2 = pltpu.make_async_copy(stage_gj.at[pl.ds(src, 8), :],
+                                   gj_hbm.at[pl.ds(fr, 8), :], sems.at[1])
+        c1.start()
+        c2.start()
+        c1.wait()
+        c2.wait()
+
+    @pl.when(jnp.logical_not(ok))
+    def _():
+        cur_ref[2] = cur_ref[2] | 1     # bit 0: stream capacity exceeded
+    cur_ref[1] = fr + 8
+
+
+def _group_stream_kernel(mask_kind: str, G: int, W: int, ROW_CAP: int,
+                         CAP_PAIR: int, dedup: bool, CAPROWS: int,
+                         ai_ref, bi_ref, nsteps_ref,   # scalar prefetch
+                         *refs):
+    """Grouped banded kernel emitting a *dense* contact stream.
+
+    Same phase-A structure as _group_kernel (one a-tile vs W banded
+    b-tiles), but instead of padded per-pair slot rows, each pair's
+    compacted (1, 128) gi/gj rows are appended at a running SMEM cursor
+    into a circular VMEM stage (pltpu.roll by cursor%128 + branchless
+    row-select), flushed to HBM in aligned (8, 128) blocks — so the
+    downstream contact extraction needs no gather-based compaction at all
+    (it was 13.7 ms of post-processing at 1M).  The kernel-side analogue
+    of the reference's allocation-exact two-pass output
+    (ref traverse/leaf_vs_tree/traverse_single.jl:52-78).
+
+    refs: a block; W b blocks; outputs gi_hbm (CAPROWS, 128) f32 [ANY],
+    gj_hbm [ANY], meta (1, 128) f32 [VMEM, constant block]; scratch:
+    mscr (G, G) f32, rows_gi/rows_gj (W, 128) f32, cnt (W,) i32 SMEM,
+    cur (4,) i32 SMEM, stage_gi/stage_gj (_STAGE_ROWS, 128) f32,
+    sems DMA x2.
+    """
+    aref = refs[0]
+    brefs = refs[1:1 + W]
+    gi_hbm, gj_hbm, meta = refs[1 + W:4 + W]
+    (mscr, rows_gi_scr, rows_gj_scr, cnt_scr, cur_ref,
+     stage_gi, stage_gj, sems) = refs[4 + W:]
+    BH = G // N_BANDS
+
+    s = pl.program_id(0)
+    S_total = pl.num_programs(0)
+
+    @pl.when(s == 0)
+    def _():
+        cur_ref[0] = 0      # contact cursor
+        cur_ref[1] = 0      # flushed rows
+        cur_ref[2] = 0      # overflow flag
+
+    step_valid = s < nsteps_ref[0]
+
+    @pl.when(step_valid)
+    def _():
+        a_blk = aref[0]
+        cols = _acols(mask_kind, a_blk)
+        ti = ai_ref[s]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
+        for w in range(W):
+            bw = bi_ref[s * W + w]
+            tj = bw & 0xFFFF
+            bm = (bw >> 16) & ((1 << N_BANDS) - 1)
+            b_blk = brefs[w][0]
+            mscr[:, :] = jnp.zeros((G, G), jnp.float32)
+            for r in range(N_BANDS):
+                @pl.when(((bm >> r) & 1) != 0)
+                def _(r=r, b_blk=b_blk):
+                    m = _band_mask(mask_kind, cols, b_blk, r * BH, BH)
+                    mscr[r * BH:(r + 1) * BH, :] = m.astype(jnp.float32)
+            mi = mscr[:, :]
+            gj = tj * G + lane
+            if dedup:
+                mi = jnp.where(gj > ti * G + sub, mi, 0.0)
+            total = jnp.sum(mi)
+            total_i = total.astype(jnp.int32)
+            cnt_scr[w] = 0
+
+            @pl.when(total > 0.0)
+            def _(w=w, ti=ti, tj=tj, mi=mi, gj=gj, total=total,
+                  total_i=total_i):
+                gi_row, gj_row, over = _pair_compact_rows(
+                    G, ROW_CAP, CAP_PAIR, ti, tj, mi, gj, total)
+                if CAP_PAIR < 128:
+                    z = jnp.zeros((1, 128 - CAP_PAIR), jnp.float32)
+                    gi_row = jnp.concatenate([gi_row, z], axis=1)
+                    gj_row = jnp.concatenate([gj_row, z], axis=1)
+                rows_gi_scr[w:w + 1, :] = gi_row
+                rows_gj_scr[w:w + 1, :] = gj_row
+                # clamped count; slot-cap overflow rides the sign bit (a
+                # separate pl.when per w would cost a compile region)
+                cnt_scr[w] = jnp.where(over, -jnp.minimum(total_i, CAP_PAIR),
+                                       total_i)
+
+        # phase B: one fori_loop appends the W compacted rows in order
+        rows_gi = rows_gi_scr[:, :]
+        rows_gj = rows_gj_scr[:, :]
+        riW = jax.lax.broadcasted_iota(jnp.int32, (W, 128), 0)
+        ri = jax.lax.broadcasted_iota(jnp.int32, (_STAGE_ROWS, 128), 0)
+        li = jax.lax.broadcasted_iota(jnp.int32, (_STAGE_ROWS, 128), 1)
+
+        def append(w, carry):
+            cnt_s = cnt_scr[w]
+
+            @pl.when(cnt_s != 0)
+            def _():
+                cnt = jnp.abs(cnt_s)
+
+                @pl.when(cnt_s < 0)
+                def _():
+                    cur_ref[2] = cur_ref[2] | 2   # bit 1: slot caps exceeded
+                gi_row = jnp.sum(jnp.where(riW == w, rows_gi, 0.0),
+                                 axis=0, keepdims=True)
+                gj_row = jnp.sum(jnp.where(riW == w, rows_gj, 0.0),
+                                 axis=0, keepdims=True)
+                cur = cur_ref[0]
+                sh = jax.lax.rem(cur, jnp.int32(128))
+                row0 = jax.lax.rem(cur // 128, jnp.int32(_STAGE_ROWS))
+                row1 = jax.lax.rem(row0 + 1, jnp.int32(_STAGE_ROWS))
+                rgi = pltpu.roll(gi_row, sh, axis=1)
+                rgj = pltpu.roll(gj_row, sh, axis=1)
+                m = ((ri == row0) & (li >= sh) & (li < sh + cnt)) | \
+                    ((ri == row1) & (li < sh + cnt - 128))
+                stage_gi[:, :] = jnp.where(
+                    m, jnp.broadcast_to(rgi, (_STAGE_ROWS, 128)),
+                    stage_gi[:, :])
+                stage_gj[:, :] = jnp.where(
+                    m, jnp.broadcast_to(rgj, (_STAGE_ROWS, 128)),
+                    stage_gj[:, :])
+                new_cur = cur + cnt
+                cur_ref[0] = new_cur
+
+                @pl.when(new_cur // 128 - cur_ref[1] >= 8)
+                def _():
+                    _stream_flush(stage_gi, stage_gj, gi_hbm, gj_hbm,
+                                  sems, cur_ref, CAPROWS)
+            return carry
+
+        jax.lax.fori_loop(0, W, append, 0)
+
+    @pl.when(s == S_total - 1)
+    def _():
+        # the stage holds < 2 * 8 pending rows (one flush check per append,
+        # each append adds <= 128 contacts): two final flush rounds drain it
+        for _ in range(2):
+            @pl.when((cur_ref[0] + 127) // 128 > cur_ref[1])
+            def _():
+                _stream_flush(stage_gi, stage_gj, gi_hbm, gj_hbm,
+                              sems, cur_ref, CAPROWS)
+        meta_lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        meta[0, :] = jnp.where(
+            meta_lane[0] == 0, cur_ref[0].astype(jnp.float32),
+            jnp.where(meta_lane[0] == 1,
+                      cur_ref[2].astype(jnp.float32), 0.0))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mask_kind", "G", "W", "ROW_CAP", "CAP_PAIR",
+                     "dedup", "CAP", "interpret"))
+def tile_group_contacts_stream(a_idx, b_idx, nsteps, a_fields,
+                               b_fields=None, *,
+                               mask_kind: str, G: int, W: int = 8,
+                               ROW_CAP: int = 4, CAP_PAIR: int = 32,
+                               dedup: bool = False, CAP: int = 1 << 17,
+                               interpret: bool = False):
+    """Run the streamed grouped kernel (see _group_stream_kernel).
+
+    Same inputs as :func:`tile_group_contacts` (banded ``b_idx`` entries),
+    but the output is a *dense* contact stream: returns
+    ``(gi_flat, gj_flat, total, flags)`` where the leading ``total``
+    elements of the (CAP,) f32 arrays are the global sorted-order
+    positions of every contact, in deterministic kernel order, and
+    ``flags`` is an int32 overflow bitmask (bit 0 = CAP exceeded, bit 1 =
+    ROW_CAP/CAP_PAIR slot caps exceeded).  Requires ``CAP_PAIR <= 128``
+    (per-pair rows append as one lane row) and ``CAP % 1024 == 0``
+    (aligned flush quantum).
+    """
+    S_cap = a_idx.shape[0]
+    if b_fields is None:
+        b_fields = a_fields
+    Fa, Fb = MASK_FIELD_COUNTS[mask_kind]
+    assert len(a_fields) == Fa and len(b_fields) == Fb, \
+        (mask_kind, len(a_fields), len(b_fields))
+    assert CAP_PAIR <= 128 and CAP % 1024 == 0, (CAP_PAIR, CAP)
+    CAPROWS = CAP // 128
+
+    def pack(fields):
+        T = fields[0].shape[0]
+        stackd = jnp.stack(fields, axis=1)
+        nf = len(fields)
+        if nf < 8:
+            stackd = jnp.concatenate(
+                [stackd, jnp.zeros((T, 8 - nf, G), stackd.dtype)], axis=1)
+        return jnp.concatenate(
+            [stackd, jnp.full((1, 8, G), jnp.nan, stackd.dtype)], axis=0)
+
+    a_packed = pack(a_fields)
+    b_packed = pack(b_fields)
+
+    a_spec = pl.BlockSpec(
+        (1, 8, G), lambda s, ai, bi, ns: (ai[s], 0, 0))
+
+    def b_spec(w):
+        return pl.BlockSpec(
+            (1, 8, G),
+            lambda s, ai, bi, ns, w=w: (bi[s * W + w] & 0xFFFF, 0, 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(S_cap,),
+        in_specs=[a_spec] + [b_spec(w) for w in range(W)],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 128), lambda s, *_: (0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((G, G), jnp.float32),
+            pltpu.VMEM((W, 128), jnp.float32),
+            pltpu.VMEM((W, 128), jnp.float32),
+            pltpu.SMEM((W,), jnp.int32),
+            pltpu.SMEM((4,), jnp.int32),
+            pltpu.VMEM((_STAGE_ROWS, 128), jnp.float32),
+            pltpu.VMEM((_STAGE_ROWS, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    kernel = functools.partial(_group_stream_kernel, mask_kind, G, W,
+                               ROW_CAP, CAP_PAIR, dedup, CAPROWS)
+    gi_hbm, gj_hbm, meta = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((CAPROWS, 128), jnp.float32),
+            jax.ShapeDtypeStruct((CAPROWS, 128), jnp.float32),
+            jax.ShapeDtypeStruct((1, 128), jnp.float32),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT, has_side_effects=True),
+        interpret=interpret,
+    )(a_idx, b_idx, nsteps, a_packed, *([b_packed] * W))
+    total = meta[0, 0].astype(jnp.int32)
+    flags = meta[0, 1].astype(jnp.int32) | jnp.where(total > CAP, 1, 0)
+    return gi_hbm.reshape(-1), gj_hbm.reshape(-1), total, flags
+
+
+# ---------------------------------------------------------------------------
 # Grouped ("wide") kernel: one a-tile vs W b-tiles per grid step
 # ---------------------------------------------------------------------------
 
@@ -480,16 +764,17 @@ def _group_kernel(mask_kind: str, G: int, W: int, ROW_CAP: int,
     high bits (phase 1 computes which (G/N_BANDS)-leaf sub-bands of the
     a-tile can touch the b-tile, ops/subtile.py): the mask — the dominant
     kernel cost, at measured VPU peak with a 0.0016%% hit rate — is only
-    computed for live bands, via value-carrying lax.cond per band.
+    computed for live bands, via pl.when writes into a (G, G) scratch.
     Validity is still also encoded in the data (padded tiles/lanes hold
     NaN fields, whose comparisons are false).
 
     refs: a block (1, 8, G); W b blocks (1, 8, G); ONE packed output with
-    (1, W, 2*seg+128) blocks (see _seg).
+    (1, W, 2*seg+128) blocks (see _seg); (G, G) f32 mask scratch.
     """
     aref = refs[0]
     brefs = refs[1:1 + W]
     out = refs[1 + W]
+    mscr = refs[2 + W]          # (G, G) f32 band-mask scratch
     seg = _seg(CAP_PAIR)
     BH = G // N_BANDS
 
@@ -506,45 +791,36 @@ def _group_kernel(mask_kind: str, G: int, W: int, ROW_CAP: int,
         cols = _acols(mask_kind, a_blk)
         ti = ai_ref[s]
         lane = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
         meta_lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
         for w in range(W):
             bw = bi_ref[s * W + w]
             tj = bw & 0xFFFF
             bm = (bw >> 16) & ((1 << N_BANDS) - 1)
 
-            # Value-carrying band conditionals: dead bands materialize a
-            # zeros register block instead of running the mask — no VMEM
-            # scratch round-trip, and Mosaic compile time stays bounded
-            # (N_BANDS + 1 predicated regions per w).  The dedup select and
-            # the count reduction also run per live band only: at measured
-            # ~2/4 live bands they were half the per-pair vector work when
-            # applied at (G, G).
+            # Per-band pl.when writes into the (G, G) VMEM scratch: dead
+            # bands cost one (cheap, ~5 ns) untaken branch.  Two measured
+            # dead ends at 1M (both +19 ms): value-carrying lax.cond per
+            # band (Mosaic computes both branches of vector-valued conds)
+            # and per-band dedup/count with an SMEM scalar accumulator
+            # (one scalar<->vector sync per band region) — so the dedup
+            # select and the single count reduction stay at (G, G) on the
+            # value read back from the scratch.
             b_blk = brefs[w][0]
-
-            def band(r, b_blk=b_blk, tj=tj):
-                def live():
+            mscr[:, :] = jnp.zeros((G, G), jnp.float32)
+            for r in range(N_BANDS):
+                @pl.when(((bm >> r) & 1) != 0)
+                def _(r=r, b_blk=b_blk):
                     m = _band_mask(mask_kind, cols, b_blk, r * BH, BH)
-                    if dedup:
-                        # self-contact: global sorted-order j > i (ref lvt
-                        # traverse_single.jl:163-167)
-                        gi_b = ti * G + r * BH + jax.lax.broadcasted_iota(
-                            jnp.int32, (BH, G), 0)
-                        gj_b = tj * G + jax.lax.broadcasted_iota(
-                            jnp.int32, (BH, G), 1)
-                        m = m & (gj_b > gi_b)
-                    mf = m.astype(jnp.float32)
-                    return mf, jnp.sum(mf)
-
-                return jax.lax.cond(
-                    ((bm >> r) & 1) != 0,
-                    live,
-                    lambda: (jnp.zeros((BH, G), jnp.float32),
-                             jnp.float32(0)))
-
-            parts = [band(r) for r in range(N_BANDS)]
-            mi = jnp.concatenate([p[0] for p in parts], axis=0)
-            total = sum(p[1] for p in parts)
+                    mscr[r * BH:(r + 1) * BH, :] = m.astype(jnp.float32)
+            mi = mscr[:, :]
+            gi = ti * G + sub
             gj = tj * G + lane
+            if dedup:
+                # self-contact: global sorted-order j > i (ref lvt
+                # traverse_single.jl:163-167)
+                mi = jnp.where(gj > gi, mi, 0.0)
+            total = jnp.sum(mi)
             # count row (zero overflow); _pair_compact overwrites it with
             # the real count + slot-cap overflow when contacts exist
             out[0, w, 2 * seg:2 * seg + 128] = jnp.where(
@@ -619,6 +895,7 @@ def tile_group_contacts(a_idx, b_idx, nsteps, a_fields, b_fields=None, *,
         out_specs=[
             pl.BlockSpec((1, W, 2 * seg + 128), lambda s, *_: (s, 0, 0)),
         ],
+        scratch_shapes=[pltpu.VMEM((G, G), jnp.float32)],
     )
 
     kernel = functools.partial(_group_kernel, mask_kind, G, W, ROW_CAP,

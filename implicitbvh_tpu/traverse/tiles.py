@@ -355,6 +355,19 @@ def _extract_contacts(slots, counts, leaf_index, narrow_mask_fn,
     slots_flat = slots.reshape(-1)
     out_gi = slots_flat[flat].astype(jnp.int32)
     out_gj = slots_flat[flat_hi].astype(jnp.int32)
+    return _finish_contacts(out_gi, out_gj, total, leaf_index,
+                            narrow_mask_fn, capacity,
+                            leaf_index_b=leaf_index_b,
+                            sort_pairs=sort_pairs, retest_fn=retest_fn)
+
+
+def _finish_contacts(out_gi, out_gj, total, leaf_index, narrow_mask_fn,
+                     capacity: int, leaf_index_b=None,
+                     sort_pairs: bool = True, retest_fn=None):
+    """Map a dense (capacity,) stream of global sorted positions to the
+    final user-index contact list: index mapping, optional exact
+    retest / narrow filtering (re-compacted), and pair ordering."""
+    lane = jnp.arange(capacity, dtype=jnp.int32)
     # map global sorted positions -> user indices (small gather)
     if leaf_index_b is None:
         leaf_index_b = leaf_index
@@ -387,6 +400,28 @@ def _extract_contacts(slots, counts, leaf_index, narrow_mask_fn,
     return total, jnp.stack([a, b], axis=-1)
 
 
+def _merge_streams(parts, capacity: int):
+    """Concatenate per-chunk dense contact streams (gi, gj, total) into one
+    (capacity,) pair of position arrays + grand total.  Single-chunk runs
+    (every scene whose step list fits one SMEM chunk) pass through."""
+    if len(parts) == 1:
+        gi, gj, tot = parts[0]
+        return gi.astype(jnp.int32), gj.astype(jnp.int32), tot
+    C = parts[0][0].shape[0]
+    lanes = jnp.arange(C, dtype=jnp.int32)
+    gis = jnp.concatenate([p[0] for p in parts])
+    gjs = jnp.concatenate([p[1] for p in parts])
+    valid = jnp.concatenate([lanes < p[2] for p in parts])
+    v = valid.astype(jnp.int32)
+    pos = jnp.cumsum(v) - v
+    posx = jnp.where(valid, pos, capacity)
+    out_gi = jnp.zeros((capacity,), jnp.int32).at[posx].set(
+        gis.astype(jnp.int32), mode="drop")
+    out_gj = jnp.zeros((capacity,), jnp.int32).at[posx].set(
+        gjs.astype(jnp.int32), mode="drop")
+    return out_gi, out_gj, sum(p[2] for p in parts)
+
+
 @partial(jax.jit, static_argnames=("capacity", "alg", "pair_capacity",
                                    "narrow", "interpret"))
 def traverse_tiles_fixed(bvh: BVH, capacity: int, *,
@@ -404,7 +439,8 @@ def traverse_tiles_fixed(bvh: BVH, capacity: int, *,
     x band size — the tile engine's analogue of the reference's traversal
     self-metric, ref traverse.jl:48,59).
     """
-    from ..ops.tile_contact import tile_group_contacts
+    from ..ops.tile_contact import (tile_group_contacts,
+                                    tile_group_contacts_stream)
 
     alg = alg or TileTraversal()
     G = alg.tile
@@ -427,6 +463,47 @@ def traverse_tiles_fixed(bvh: BVH, capacity: int, *,
     a_idx, b_idx, nsteps = _group_pairs(packed, band, npairs, W, S_cap, T)
     pair_overflow |= nsteps > S_cap
 
+    narrow_fn = None
+    if narrow is not None:
+        leaves = bvh.leaves
+
+        def narrow_fn(gi, gj):
+            la = jax.tree_util.tree_map(lambda x: x[gi], leaves)
+            lb = jax.tree_util.tree_map(lambda x: x[gj], leaves)
+            return narrow(la, lb)
+
+    use_stream = alg.pair_cap <= 128 and capacity % 1024 == 0
+    if use_stream:
+        # streamed kernel: dense in-kernel contact output, no gather-based
+        # extraction stage
+        parts = []
+        cap_overflow = jnp.zeros((), jnp.bool_)
+        slot_overflow = jnp.zeros((), jnp.bool_)
+        for start in range(0, S_cap, CHUNK):
+            ns_c = jnp.clip(nsteps - start, 0, CHUNK)
+            gi_c, gj_c, tot_c, flags_c = tile_group_contacts_stream(
+                a_idx[start:start + CHUNK],
+                b_idx[start * W:(start + CHUNK) * W],
+                ns_c.reshape(1).astype(jnp.int32), fields,
+                mask_kind="sphere" if sphere else "box", G=G, W=W,
+                ROW_CAP=alg.row_cap, CAP_PAIR=alg.pair_cap,
+                dedup=True, CAP=capacity, interpret=interpret)
+            parts.append((gi_c, gj_c, tot_c))
+            cap_overflow = cap_overflow | ((flags_c & 1) > 0)
+            slot_overflow = slot_overflow | ((flags_c & 2) > 0)
+        gi_pos, gj_pos, total = _merge_streams(parts, capacity)
+        total, contacts = _finish_contacts(
+            gi_pos, gj_pos, total, bvh.leaves.index, narrow_fn, capacity)
+        overflow = (jnp.where(pair_overflow | cap_overflow
+                              | (total > capacity), 1, 0)
+                    | jnp.where(slot_overflow, 2, 0))
+        from ..ops.tile_contact import N_BANDS
+        lanep = jnp.arange(band.shape[0], dtype=jnp.int32)
+        num_checks = jnp.sum(
+            jnp.where(lanep < npairs, jax.lax.population_count(band), 0)
+        ) * (G // N_BANDS) * G
+        return total, contacts, overflow, num_checks
+
     slot_parts, cnt_parts = [], []
     slot_overflow = jnp.zeros((), jnp.bool_)
     for start in range(0, S_cap, CHUNK):
@@ -443,15 +520,6 @@ def traverse_tiles_fixed(bvh: BVH, capacity: int, *,
         slot_overflow = slot_overflow | ov_c
     slots = jnp.concatenate(slot_parts, axis=0)
     counts = jnp.concatenate(cnt_parts, axis=0)
-
-    narrow_fn = None
-    if narrow is not None:
-        leaves = bvh.leaves
-
-        def narrow_fn(gi, gj):
-            la = jax.tree_util.tree_map(lambda x: x[gi], leaves)
-            lb = jax.tree_util.tree_map(lambda x: x[gj], leaves)
-            return narrow(la, lb)
 
     total, contacts = _extract_contacts(
         slots, counts, bvh.leaves.index, narrow_fn, capacity)

@@ -90,6 +90,33 @@ def test_tiles_overflow_growth():
     assert set(t.contacts_list()) == bf
 
 
+def test_tiles_stream_output_path():
+    """The streamed kernel (dense in-kernel cursor output) engages when
+    capacity is a multiple of the 1024-contact flush quantum; its contact
+    set must match brute force exactly, including with a narrow filter."""
+    from implicitbvh_tpu.traverse.tiles import traverse_tiles_fixed
+    xs, rs, sp = spheres(300, 11)
+    bf = brute_force(xs, rs)
+    bvh = ib.build(sp, ib.BBox)
+    # row_cap=4 genuinely overflows on this scene at tile=32 (both kernel
+    # variants agree); the wrapper would grow it — here pick ample caps
+    alg = TileTraversal(tile=32, row_cap=16, pair_cap=128)
+    total, contacts, ov, _nc = traverse_tiles_fixed(bvh, 1024, alg=alg)
+    assert int(ov) == 0
+    got = {tuple(map(int, r)) for r in np.asarray(contacts)[:int(total)]}
+    assert got == bf
+
+    def narrow(l1, l2):
+        return (l1.index + l2.index) % 2 == 0
+
+    bf_n = {(i, j) for (i, j) in bf if (i + j) % 2 == 0}
+    total2, contacts2, ov2, _ = traverse_tiles_fixed(
+        bvh, 1024, alg=alg, narrow=narrow)
+    assert int(ov2) == 0
+    got2 = {tuple(map(int, r)) for r in np.asarray(contacts2)[:int(total2)]}
+    assert got2 == bf_n
+
+
 def test_tiles_single_and_tiny():
     one = ib.build(ib.BSphere(jnp.zeros((1, 3)), jnp.ones((1,))), ib.BBox)
     assert traverse_tiles(one).contacts_list() == []
