@@ -296,70 +296,12 @@ def _pair_body(mask_kind, G, ROW_CAP, CAP_PAIR,
 def _pair_compact_rows(G, ROW_CAP, CAP_PAIR, ti, tj, mi, gj, total):
     """In-VMEM two-level compaction of one pair's contact mask; returns
     ``(gi_row, gj_row, over)`` with the compacted global positions in the
-    (1, CAP_PAIR) rows' leading ``total`` lanes."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
-    sub = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
-    # --- in-VMEM two-level compaction --------------------------------------
-    # Mosaic-layout rules drive every shape below: 3D tensors keep minor
-    # dim = G (128), transposes are square-only, and prefix sums run on the
-    # MXU as triangular matmuls instead of log-step roll chains.
-    f32 = jnp.float32
-    ltri_strict = jnp.where(sub > lane, 1.0, 0.0)       # (G, G) lower strict
-    # in-row exclusive prefix: row_pos = mi @ strict_lower^T  (MXU)
-    row_pos = jax.lax.dot_general(
-        mi, ltri_strict, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=f32,
-        precision=jax.lax.Precision.HIGHEST)                     # (G, G)
-
-    # lane-indexed row counts: sum over j as a (1,G)@(G,G) contraction so
-    # the result is lane-indexed by i (no transpose needed)
-    ones_row = jnp.ones((1, G), f32)
-    row_cnt_lane = jax.lax.dot_general(                  # (1, G_i)
-        ones_row, mi, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=f32,
-        precision=jax.lax.Precision.HIGHEST)
-    # exclusive prefix over rows: row_off[i] = sum_{i'<i} cnt[i']
-    row_off_lane = jax.lax.dot_general(                  # (1, G_i)
-        row_cnt_lane, ltri_strict,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=f32,
-        precision=jax.lax.Precision.HIGHEST)
-
-    # row level: slot s of row i takes the j whose in-row prefix equals s.
-    # onehot_row[s, i, j] — minor dim G, dim-0 iota (both Mosaic-safe).
-    s_row = jax.lax.broadcasted_iota(jnp.int32, (ROW_CAP, G, G), 0
-                                     ).astype(f32)
-    onehot_row = jnp.where(
-        (row_pos[None, :, :] == s_row) & (mi[None, :, :] > 0), 1.0, 0.0)
-    gj_f = gj.astype(f32)                               # (G, G) global j
-    jv = jnp.sum(onehot_row * gj_f[None, :, :], axis=2)  # (ROW_CAP, G_i)
-
-    # pair level: slot k of the pair takes row slot (s, i) with
-    # row_off[i] + s == k.  acc[k, i] accumulated over an s python-loop of
-    # 2D (CAP_PAIR, G) one-hots, then column-summed via square transpose.
-    k_col = jax.lax.broadcasted_iota(jnp.int32, (CAP_PAIR, G), 0
-                                     ).astype(f32)
-    gi_lane = (ti * G + jax.lax.broadcasted_iota(jnp.int32, (1, G), 1)
-               ).astype(f32)                            # (1, G)
-    acc_gi = jnp.zeros((CAP_PAIR, G), f32)
-    acc_gj = jnp.zeros((CAP_PAIR, G), f32)
-    for s in range(ROW_CAP):
-        pos_s = row_off_lane + float(s)                 # (1, G)
-        valid_s = row_cnt_lane > float(s)               # (1, G)
-        oh_s = jnp.where((pos_s == k_col) & valid_s, 1.0, 0.0)
-        acc_gi = acc_gi + oh_s * gi_lane
-        acc_gj = acc_gj + oh_s * jv[s:s + 1, :]
-    # sum over i (lanes) with result lane-indexed by k: ones @ acc^T as a
-    # dim-1/dim-1 contraction (works for any CAP_PAIR, no transpose)
-    gi_row = jax.lax.dot_general(
-        ones_row, acc_gi, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=f32,
-        precision=jax.lax.Precision.HIGHEST)
-    gj_row = jax.lax.dot_general(
-        ones_row, acc_gj, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=f32,
-        precision=jax.lax.Precision.HIGHEST)
-    over = (total > CAP_PAIR) | jnp.any(row_cnt_lane > ROW_CAP)
+    (1, CAP_PAIR) rows' leading ``total`` lanes.  See _pair_compact_vrows
+    for the compaction itself; this wrapper reduces its per-lane ROW_CAP
+    flag row to the scalar ``over`` used by the single-pass kernels."""
+    gi_row, gj_row, over_row = _pair_compact_vrows(
+        G, ROW_CAP, CAP_PAIR, ti, mi, gj)
+    over = (total > CAP_PAIR) | (jnp.sum(over_row) > 0)
     return gi_row, gj_row, over
 
 
@@ -744,6 +686,394 @@ def tile_group_contacts_stream(a_idx, b_idx, nsteps, a_fields,
     )(a_idx, b_idx, nsteps, a_packed, *([b_packed] * W))
     total = meta[0, 0].astype(jnp.int32)
     flags = meta[0, 1].astype(jnp.int32) | jnp.where(total > CAP, 1, 0)
+    return gi_hbm.reshape(-1), gj_hbm.reshape(-1), total, flags
+
+
+# ---------------------------------------------------------------------------
+# Two-phase grouped kernels: count (A) then emit (B)
+#
+# Floor measurements at 1M (benchmarks/RESULTS.md round 3): the single-pass
+# grouped kernel costs 60 ms even with every band dead vs 13.8 ms for the
+# same grid with a trivial body — i.e. ~46 ms is per-pair *fixed* overhead:
+# the (G, G) scratch zero/read/dedup/sum infrastructure and one
+# vector->scalar sync per pair for the ``total > 0`` compaction guard,
+# while the actual live-band mask work is only ~12 ms.  The split removes
+# both: kernel A touches only live (G/N_BANDS, G) bands, accumulates
+# per-lane count rows, and never syncs to scalar; XLA compacts the ~15% of
+# pairs with contacts; kernel B redoes the mask for those pairs only, with
+# their exact counts delivered via scalar prefetch so the compaction guard
+# and the dense-output stream cursor are scalar-only too.  This mirrors the
+# reference's allocation-exact two-pass traversal (count, allocate, emit —
+# ref src/traverse/leaf_vs_tree/traverse_single.jl:52-78) at kernel
+# granularity.
+# ---------------------------------------------------------------------------
+
+
+def _group_count_kernel(mask_kind: str, G: int, W: int, dedup: bool,
+                        ai_ref, bi_ref, nsteps_ref,   # scalar prefetch
+                        *refs):
+    """Count-only grouped banded kernel: no compaction, no scalar syncs.
+
+    Per pair, each live band's (G/N_BANDS, G) mask is reduced over sublanes
+    and accumulated into the pair's (1, 128) output row; at step end a
+    log-roll all-reduce leaves the pair total replicated across every lane
+    (so the XLA side reads lane 0 — no in-kernel vector->scalar sync).
+    Dead pairs (band bits 0, including pad slots) skip at the scalar level.
+    """
+    aref = refs[0]
+    brefs = refs[1:1 + W]
+    out = refs[1 + W]          # (1, W, 128) f32 count rows
+    BH = G // N_BANDS
+
+    s = pl.program_id(0)
+    step_valid = s < nsteps_ref[0]
+
+    out[0, :, :] = jnp.zeros((W, 128), jnp.float32)
+
+    @pl.when(step_valid)
+    def _():
+        a_blk = aref[0]
+        cols = _acols(mask_kind, a_blk)
+        ti = ai_ref[s]
+        for w in range(W):
+            bw = bi_ref[s * W + w]
+            tj = bw & 0xFFFF
+            bm = (bw >> 16) & ((1 << N_BANDS) - 1)
+            b_blk = brefs[w][0]
+            for r in range(N_BANDS):
+                @pl.when(((bm >> r) & 1) != 0)
+                def _(r=r, b_blk=b_blk, tj=tj, w=w):
+                    m = _band_mask(mask_kind, cols, b_blk, r * BH, BH)
+                    if dedup:
+                        gi_b = ti * G + r * BH + jax.lax.broadcasted_iota(
+                            jnp.int32, (BH, G), 0)
+                        gj_b = tj * G + jax.lax.broadcasted_iota(
+                            jnp.int32, (BH, G), 1)
+                        m = m & (gj_b > gi_b)
+                    out[0, w, 0:G] = out[0, w, 0:G] + jnp.sum(
+                        m.astype(jnp.float32), axis=0)
+        # all-lanes roll-reduce: every lane of each row ends up holding the
+        # pair's total count (the XLA side slices lane 0)
+        rows = out[0, :, :]
+        sh = 1
+        while sh < 128:
+            rows = rows + pltpu.roll(rows, sh, axis=1)
+            sh *= 2
+        out[0, :, :] = rows
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mask_kind", "G", "W", "dedup", "interpret"))
+def tile_group_counts(a_idx, b_idx, nsteps, a_fields, b_fields=None, *,
+                      mask_kind: str, G: int, W: int = 8,
+                      dedup: bool = False, interpret: bool = False):
+    """Run the count-only grouped kernel (see _group_count_kernel).
+
+    Same inputs as :func:`tile_group_contacts`.  Returns ``counts``
+    (S_cap * W,) int32: the exact contact count of every candidate pair.
+    """
+    S_cap = a_idx.shape[0]
+    if b_fields is None:
+        b_fields = a_fields
+    Fa, Fb = MASK_FIELD_COUNTS[mask_kind]
+    assert len(a_fields) == Fa and len(b_fields) == Fb, \
+        (mask_kind, len(a_fields), len(b_fields))
+
+    def pack(fields):
+        T = fields[0].shape[0]
+        stackd = jnp.stack(fields, axis=1)
+        nf = len(fields)
+        if nf < 8:
+            stackd = jnp.concatenate(
+                [stackd, jnp.zeros((T, 8 - nf, G), stackd.dtype)], axis=1)
+        return jnp.concatenate(
+            [stackd, jnp.full((1, 8, G), jnp.nan, stackd.dtype)], axis=0)
+
+    a_packed = pack(a_fields)
+    b_packed = pack(b_fields)
+
+    a_spec = pl.BlockSpec(
+        (1, 8, G), lambda s, ai, bi, ns: (ai[s], 0, 0))
+
+    def b_spec(w):
+        return pl.BlockSpec(
+            (1, 8, G),
+            lambda s, ai, bi, ns, w=w: (bi[s * W + w] & 0xFFFF, 0, 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(S_cap,),
+        in_specs=[a_spec] + [b_spec(w) for w in range(W)],
+        out_specs=[
+            pl.BlockSpec((1, W, 128), lambda s, *_: (s, 0, 0)),
+        ],
+    )
+
+    kernel = functools.partial(_group_count_kernel, mask_kind, G, W, dedup)
+    (out,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((S_cap, W, 128), jnp.float32),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(a_idx, b_idx, nsteps, a_packed, *([b_packed] * W))
+    return out[:, :, 0].astype(jnp.int32).reshape(S_cap * W)
+
+
+def _group_emit_kernel(mask_kind: str, G: int, W: int, ROW_CAP: int,
+                       CAP_PAIR: int, dedup: bool, CAPROWS: int,
+                       ai_ref, bi_ref, nsteps_ref,   # scalar prefetch
+                       *refs):
+    """Emit kernel: dense contact stream for pre-counted pairs only.
+
+    ``bi_ref`` entries pack ``tj | band << 16 | cnt << 20`` (cnt = the
+    pair's exact contact count from kernel A, <= 255), so every control
+    decision — skip, append length, flush — is scalar-prefetch-driven with
+    zero vector->scalar syncs.  Contacts append at a running SMEM cursor
+    into a circular VMEM stage, flushed to HBM in aligned (8, 128) blocks
+    (see _stream_flush).  Slot-cap (ROW_CAP) violations accumulate in a
+    VMEM flag row, written to meta at the last step.
+    """
+    aref = refs[0]
+    brefs = refs[1:1 + W]
+    gi_hbm, gj_hbm, meta = refs[1 + W:4 + W]
+    (mscr, cur_ref, over_scr, stage_gi, stage_gj, sems) = refs[4 + W:]
+    BH = G // N_BANDS
+
+    s = pl.program_id(0)
+    S_total = pl.num_programs(0)
+
+    @pl.when(s == 0)
+    def _():
+        cur_ref[0] = 0      # contact cursor
+        cur_ref[1] = 0      # flushed rows
+        cur_ref[2] = 0      # overflow flag (bit 0: CAP exceeded)
+        over_scr[0, :] = jnp.zeros((128,), jnp.float32)
+
+    step_valid = s < nsteps_ref[0]
+
+    @pl.when(step_valid)
+    def _():
+        a_blk = aref[0]
+        cols = _acols(mask_kind, a_blk)
+        ti = ai_ref[s]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
+        ri = jax.lax.broadcasted_iota(jnp.int32, (_STAGE_ROWS, 128), 0)
+        li = jax.lax.broadcasted_iota(jnp.int32, (_STAGE_ROWS, 128), 1)
+        for w in range(W):
+            bw = bi_ref[s * W + w]
+            tj = bw & 0xFFFF
+            bm = (bw >> 16) & ((1 << N_BANDS) - 1)
+            cnt = (bw >> 20) & 0xFF
+            b_blk = brefs[w][0]
+
+            @pl.when(cnt > 0)
+            def _(w=w, tj=tj, bm=bm, cnt=cnt, b_blk=b_blk):
+                mscr[:, :] = jnp.zeros((G, G), jnp.float32)
+                for r in range(N_BANDS):
+                    @pl.when(((bm >> r) & 1) != 0)
+                    def _(r=r):
+                        m = _band_mask(mask_kind, cols, b_blk, r * BH, BH)
+                        mscr[r * BH:(r + 1) * BH, :] = m.astype(jnp.float32)
+                mi = mscr[:, :]
+                gj = tj * G + lane
+                if dedup:
+                    mi = jnp.where(gj > ti * G + sub, mi, 0.0)
+                gi_row, gj_row, over_row = _pair_compact_vrows(
+                    G, ROW_CAP, CAP_PAIR, ti, mi, gj)
+                over_scr[0, 0:G] = over_scr[0, 0:G] + over_row[0, :]
+                if CAP_PAIR < 128:
+                    z = jnp.zeros((1, 128 - CAP_PAIR), jnp.float32)
+                    gi_row = jnp.concatenate([gi_row, z], axis=1)
+                    gj_row = jnp.concatenate([gj_row, z], axis=1)
+
+                # append at the scalar cursor (cnt > CAP_PAIR is flagged on
+                # the XLA side from kernel A's counts; clamp to keep the
+                # stage select in its two-row window)
+                cnt_c = jnp.minimum(cnt, CAP_PAIR)
+                cur = cur_ref[0]
+                sh = jax.lax.rem(cur, jnp.int32(128))
+                row0 = jax.lax.rem(cur // 128, jnp.int32(_STAGE_ROWS))
+                row1 = jax.lax.rem(row0 + 1, jnp.int32(_STAGE_ROWS))
+                rgi = pltpu.roll(gi_row, sh, axis=1)
+                rgj = pltpu.roll(gj_row, sh, axis=1)
+                m_st = ((ri == row0) & (li >= sh) & (li < sh + cnt_c)) | \
+                       ((ri == row1) & (li < sh + cnt_c - 128))
+                stage_gi[:, :] = jnp.where(
+                    m_st, jnp.broadcast_to(rgi, (_STAGE_ROWS, 128)),
+                    stage_gi[:, :])
+                stage_gj[:, :] = jnp.where(
+                    m_st, jnp.broadcast_to(rgj, (_STAGE_ROWS, 128)),
+                    stage_gj[:, :])
+                new_cur = cur + cnt_c
+                cur_ref[0] = new_cur
+
+                @pl.when(new_cur // 128 - cur_ref[1] >= 8)
+                def _():
+                    _stream_flush(stage_gi, stage_gj, gi_hbm, gj_hbm,
+                                  sems, cur_ref, CAPROWS)
+
+    @pl.when(s == S_total - 1)
+    def _():
+        for _ in range(2):
+            @pl.when((cur_ref[0] + 127) // 128 > cur_ref[1])
+            def _():
+                _stream_flush(stage_gi, stage_gj, gi_hbm, gj_hbm,
+                              sems, cur_ref, CAPROWS)
+        meta_lane = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 1)
+        meta_row = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 0)
+        meta[:, :] = jnp.where(
+            meta_row == 1, jnp.broadcast_to(over_scr[0, :], (2, 128)),
+            jnp.where(meta_lane == 0,
+                      cur_ref[0].astype(jnp.float32),
+                      jnp.where(meta_lane == 1,
+                                cur_ref[2].astype(jnp.float32), 0.0)))
+
+
+def _pair_compact_vrows(G, ROW_CAP, CAP_PAIR, ti, mi, gj):
+    """_pair_compact_rows without the vector->scalar ``over`` reduction:
+    returns ``(gi_row, gj_row, over_row)`` where ``over_row`` is a (1, G)
+    f32 per-lane ROW_CAP-violation indicator (the caller accumulates it
+    into a persistent flag row — no scalar sync)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
+    f32 = jnp.float32
+    ltri_strict = jnp.where(sub > lane, 1.0, 0.0)
+    row_pos = jax.lax.dot_general(
+        mi, ltri_strict, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+        precision=jax.lax.Precision.HIGHEST)
+    ones_row = jnp.ones((1, G), f32)
+    row_cnt_lane = jax.lax.dot_general(
+        ones_row, mi, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+        precision=jax.lax.Precision.HIGHEST)
+    row_off_lane = jax.lax.dot_general(
+        row_cnt_lane, ltri_strict,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+        precision=jax.lax.Precision.HIGHEST)
+    s_row = jax.lax.broadcasted_iota(jnp.int32, (ROW_CAP, G, G), 0
+                                     ).astype(f32)
+    onehot_row = jnp.where(
+        (row_pos[None, :, :] == s_row) & (mi[None, :, :] > 0), 1.0, 0.0)
+    gj_f = gj.astype(f32)
+    jv = jnp.sum(onehot_row * gj_f[None, :, :], axis=2)
+    k_col = jax.lax.broadcasted_iota(jnp.int32, (CAP_PAIR, G), 0
+                                     ).astype(f32)
+    gi_lane = (ti * G + jax.lax.broadcasted_iota(jnp.int32, (1, G), 1)
+               ).astype(f32)
+    acc_gi = jnp.zeros((CAP_PAIR, G), f32)
+    acc_gj = jnp.zeros((CAP_PAIR, G), f32)
+    for s in range(ROW_CAP):
+        pos_s = row_off_lane + float(s)
+        valid_s = row_cnt_lane > float(s)
+        oh_s = jnp.where((pos_s == k_col) & valid_s, 1.0, 0.0)
+        acc_gi = acc_gi + oh_s * gi_lane
+        acc_gj = acc_gj + oh_s * jv[s:s + 1, :]
+    gi_row = jax.lax.dot_general(
+        ones_row, acc_gi, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+        precision=jax.lax.Precision.HIGHEST)
+    gj_row = jax.lax.dot_general(
+        ones_row, acc_gj, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+        precision=jax.lax.Precision.HIGHEST)
+    over_row = jnp.where(row_cnt_lane > float(ROW_CAP), 1.0, 0.0)
+    return gi_row, gj_row, over_row
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mask_kind", "G", "W", "ROW_CAP", "CAP_PAIR",
+                     "dedup", "CAP", "interpret"))
+def tile_group_emit(a_idx, b_idx, nsteps, a_fields, b_fields=None, *,
+                    mask_kind: str, G: int, W: int = 8,
+                    ROW_CAP: int = 4, CAP_PAIR: int = 32,
+                    dedup: bool = False, CAP: int = 1 << 17,
+                    interpret: bool = False):
+    """Run the emit kernel over pre-counted pairs (see _group_emit_kernel).
+
+    ``b_idx`` entries pack ``tj | band << 16 | cnt << 20`` where ``cnt``
+    is the pair's exact contact count from :func:`tile_group_counts`
+    (pad slots carry cnt = 0).  Returns ``(gi_flat, gj_flat, total,
+    flags)`` like :func:`tile_group_contacts_stream`; ``flags`` bit 1 here
+    covers ROW_CAP violations only (CAP_PAIR violations are visible to the
+    caller in kernel A's counts).  Requires ``CAP_PAIR <= 128`` and
+    ``CAP % 1024 == 0``.
+    """
+    S_cap = a_idx.shape[0]
+    if b_fields is None:
+        b_fields = a_fields
+    Fa, Fb = MASK_FIELD_COUNTS[mask_kind]
+    assert len(a_fields) == Fa and len(b_fields) == Fb, \
+        (mask_kind, len(a_fields), len(b_fields))
+    assert CAP_PAIR <= 128 and CAP % 1024 == 0, (CAP_PAIR, CAP)
+    CAPROWS = CAP // 128
+
+    def pack(fields):
+        T = fields[0].shape[0]
+        stackd = jnp.stack(fields, axis=1)
+        nf = len(fields)
+        if nf < 8:
+            stackd = jnp.concatenate(
+                [stackd, jnp.zeros((T, 8 - nf, G), stackd.dtype)], axis=1)
+        return jnp.concatenate(
+            [stackd, jnp.full((1, 8, G), jnp.nan, stackd.dtype)], axis=0)
+
+    a_packed = pack(a_fields)
+    b_packed = pack(b_fields)
+
+    a_spec = pl.BlockSpec(
+        (1, 8, G), lambda s, ai, bi, ns: (ai[s], 0, 0))
+
+    def b_spec(w):
+        return pl.BlockSpec(
+            (1, 8, G),
+            lambda s, ai, bi, ns, w=w: (bi[s * W + w] & 0xFFFF, 0, 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(S_cap,),
+        in_specs=[a_spec] + [b_spec(w) for w in range(W)],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((2, 128), lambda s, *_: (0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((G, G), jnp.float32),
+            pltpu.SMEM((4,), jnp.int32),
+            pltpu.VMEM((1, 128), jnp.float32),
+            pltpu.VMEM((_STAGE_ROWS, 128), jnp.float32),
+            pltpu.VMEM((_STAGE_ROWS, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    kernel = functools.partial(_group_emit_kernel, mask_kind, G, W,
+                               ROW_CAP, CAP_PAIR, dedup, CAPROWS)
+    gi_hbm, gj_hbm, meta = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((CAPROWS, 128), jnp.float32),
+            jax.ShapeDtypeStruct((CAPROWS, 128), jnp.float32),
+            jax.ShapeDtypeStruct((2, 128), jnp.float32),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT, has_side_effects=True),
+        interpret=interpret,
+    )(a_idx, b_idx, nsteps, a_packed, *([b_packed] * W))
+    total = meta[0, 0].astype(jnp.int32)
+    flags = (meta[0, 1].astype(jnp.int32)
+             | jnp.where(total > CAP, 1, 0)
+             | jnp.where(meta[1, :].sum() > 0, 2, 0))
     return gi_hbm.reshape(-1), gj_hbm.reshape(-1), total, flags
 
 

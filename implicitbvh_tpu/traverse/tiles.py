@@ -267,6 +267,40 @@ def _group_pairs(packed, band, npairs, W: int, S_cap: int, T_pad: int):
     return a_idx, b_idx, nsteps
 
 
+@partial(jax.jit, static_argnames=("W", "S2_cap", "T_pad"))
+def _regroup_emit(a_idx, b_idx, counts, W: int, S2_cap: int, T_pad: int):
+    """Regroup the pairs with nonzero counts (kernel A's output) for the
+    emit kernel: same W-per-a-tile grouping as _group_pairs, but over the
+    already-sorted (a_idx, b_idx) slot layout, and with each pair's exact
+    contact count packed into its b entry (tj | band << 16 | cnt << 20) so
+    kernel B's control flow is fully scalar-prefetch-driven.
+
+    Returns ``(a_idx2 (S2_cap,), b_idx2 (S2_cap * W2,), nsteps2)``.
+    """
+    SW = b_idx.shape[0]
+    Win = SW // a_idx.shape[0]
+    lane = jnp.arange(SW, dtype=jnp.int32)
+    valid = counts > 0
+    ti_flat = jnp.repeat(a_idx, Win)
+    payload = (b_idx & 0xFFFFF) | (jnp.minimum(counts, 255) << 20)
+    cv_ex = jnp.cumsum(valid.astype(jnp.int32)) - valid
+    prev_ti = jnp.concatenate([jnp.full((1,), -1, jnp.int32), ti_flat[:-1]])
+    is_run_start = ti_flat != prev_ti
+    run_base = jax.lax.cummax(jnp.where(is_run_start, cv_ex, -1))
+    posr = cv_ex - run_base              # rank among the run's valid entries
+    is_leader = valid & (posr % W == 0)
+    lead_cum = jnp.cumsum(is_leader.astype(jnp.int32))
+    gid = lead_cum - 1
+    nsteps2 = lead_cum[-1]
+    a_dst = jnp.where(is_leader, gid, S2_cap)
+    a_idx2 = jnp.zeros((S2_cap,), jnp.int32).at[a_dst].set(
+        ti_flat, mode="drop")
+    b_dst = jnp.where(valid, gid * W + posr % W, S2_cap * W)
+    b_idx2 = jnp.full((S2_cap * W,), T_pad, jnp.int32
+                      ).at[b_dst].set(payload, mode="drop")
+    return a_idx2, b_idx2, nsteps2
+
+
 def _tiled_fields(bvh: BVH, G: int):
     """Tile the sorted leaf fields to (T, G) plus padded tile AABBs and
     per-(G/N_BANDS)-leaf sub-band AABBs (tuples of (T, N_BANDS), used by
@@ -439,8 +473,8 @@ def traverse_tiles_fixed(bvh: BVH, capacity: int, *,
     x band size — the tile engine's analogue of the reference's traversal
     self-metric, ref traverse.jl:48,59).
     """
-    from ..ops.tile_contact import (tile_group_contacts,
-                                    tile_group_contacts_stream)
+    from ..ops.tile_contact import (tile_group_contacts, tile_group_counts,
+                                    tile_group_emit)
 
     alg = alg or TileTraversal()
     G = alg.tile
@@ -472,20 +506,43 @@ def traverse_tiles_fixed(bvh: BVH, capacity: int, *,
             lb = jax.tree_util.tree_map(lambda x: x[gj], leaves)
             return narrow(la, lb)
 
-    use_stream = alg.pair_cap <= 128 and capacity % 1024 == 0
-    if use_stream:
-        # streamed kernel: dense in-kernel contact output, no gather-based
-        # extraction stage
-        parts = []
-        cap_overflow = jnp.zeros((), jnp.bool_)
-        slot_overflow = jnp.zeros((), jnp.bool_)
+    use_two_phase = alg.pair_cap <= 128 and capacity % 1024 == 0
+    if use_two_phase:
+        # two-phase: count kernel (no compaction, no scalar syncs) -> XLA
+        # regroup of the ~7-15% of pairs with contacts -> emit kernel whose
+        # control flow (skip / append length / flush cursor) is entirely
+        # scalar-prefetch-driven, streaming contacts dense to HBM
+        cnt_parts = []
         for start in range(0, S_cap, CHUNK):
             ns_c = jnp.clip(nsteps - start, 0, CHUNK)
-            gi_c, gj_c, tot_c, flags_c = tile_group_contacts_stream(
+            cnt_parts.append(tile_group_counts(
                 a_idx[start:start + CHUNK],
                 b_idx[start * W:(start + CHUNK) * W],
                 ns_c.reshape(1).astype(jnp.int32), fields,
                 mask_kind="sphere" if sphere else "box", G=G, W=W,
+                dedup=True, interpret=interpret))
+        # The barrier is load-bearing: counts has two consumers (the valid
+        # chain and the packed payload below), and XLA duplicates the cheap
+        # slice-of-pallas-output chain into both — the later copy re-reads
+        # the kernel's output buffer after it has been reused, yielding
+        # partially-zero counts (measured: 77/118 emit entries dropped at
+        # N=5000 on the real chip; bit-exact in interpret mode).
+        counts = jax.lax.optimization_barrier(jnp.concatenate(cnt_parts))
+        slot_overflow = jnp.any(counts > alg.pair_cap)
+
+        W2 = 4
+        S2_cap, CHUNK2 = _step_caps(T + capacity // (8 * W2))
+        a_idx2, b_idx2, nsteps2 = _regroup_emit(
+            a_idx, b_idx, counts, W2, S2_cap, T)
+        cap_overflow = nsteps2 > S2_cap
+        parts = []
+        for start in range(0, S2_cap, CHUNK2):
+            ns_c = jnp.clip(nsteps2 - start, 0, CHUNK2)
+            gi_c, gj_c, tot_c, flags_c = tile_group_emit(
+                a_idx2[start:start + CHUNK2],
+                b_idx2[start * W2:(start + CHUNK2) * W2],
+                ns_c.reshape(1).astype(jnp.int32), fields,
+                mask_kind="sphere" if sphere else "box", G=G, W=W2,
                 ROW_CAP=alg.row_cap, CAP_PAIR=alg.pair_cap,
                 dedup=True, CAP=capacity, interpret=interpret)
             parts.append((gi_c, gj_c, tot_c))
