@@ -824,6 +824,156 @@ def tile_group_counts(a_idx, b_idx, nsteps, a_fields, b_fields=None, *,
     return out[:, :, 0].astype(jnp.int32).reshape(S_cap * W)
 
 
+def _run_count_kernel(mask_kind: str, G: int, W: int, R: int, dedup: bool,
+                      ai_ref, bi_ref, bm_ref, nsteps_ref,   # scalar prefetch
+                      *refs):
+    """Count kernel over aligned b-tile *runs*: one (R, 8, G) DMA covers R
+    consecutive b tiles.
+
+    The count grid is DMA-issue/step-overhead-bound (~130 ns per issued
+    copy + ~0.3-1 us fixed per grid step; HBM bytes are ~1000x below the
+    bandwidth limit), and phase-1 candidate tj's cluster: at 1M, 190k
+    (ti, tj) pairs collapse to 66k aligned (ti, tj>>3) runs, so R = 8 cuts
+    both the b-DMA count and the step count ~3x.  Dead tiles inside a run
+    skip at the scalar level (measured: a dead pl.when region costs < 1 ns,
+    benchmarks/micro_branch_bf16.py), driven by ``bm_ref`` words carrying
+    4 band bits per tile (R * 4 <= 32).
+
+    Output: (1, W * R, 128) f32 rows of per-tile *lane-partial* counts
+    (sum over mask sublanes only) — the XLA caller reduces lanes, so the
+    kernel has no cross-lane reduction and no vector->scalar syncs at all.
+    """
+    aref = refs[0]
+    brefs = refs[1:1 + W]
+    out = refs[1 + W]          # (1, W * R, 128) f32 lane-partial counts
+    BH = G // N_BANDS
+
+    s = pl.program_id(0)
+    step_valid = s < nsteps_ref[0]
+
+    out[0, :, :] = jnp.zeros((W * R, 128), jnp.float32)
+
+    @pl.when(step_valid)
+    def _():
+        a_blk = aref[0]
+        cols = _acols(mask_kind, a_blk)
+        ti = ai_ref[s]
+        for w in range(W):
+            word = bm_ref[s * W + w]
+            base = bi_ref[s * W + w] & 0xFFFF      # aligned run index
+
+            @pl.when(word != 0)
+            def _(w=w, word=word, base=base):
+                for t in range(R):
+                    bm_t = (word >> (4 * t)) & 0xF
+
+                    @pl.when(bm_t != 0)
+                    def _(t=t, bm_t=bm_t, w=w, base=base):
+                        b_blk = brefs[w][t]
+                        tj = base * R + t
+                        k = w * R + t
+                        for r in range(N_BANDS):
+                            @pl.when(((bm_t >> r) & 1) != 0)
+                            def _(r=r, b_blk=b_blk, tj=tj, k=k):
+                                m = _band_mask(mask_kind, cols, b_blk,
+                                               r * BH, BH)
+                                if dedup:
+                                    gi_b = (ti * G + r * BH +
+                                            jax.lax.broadcasted_iota(
+                                                jnp.int32, (BH, G), 0))
+                                    gj_b = (tj * G +
+                                            jax.lax.broadcasted_iota(
+                                                jnp.int32, (BH, G), 1))
+                                    m = m & (gj_b > gi_b)
+                                out[0, k, 0:G] = out[0, k, 0:G] + jnp.sum(
+                                    m.astype(jnp.float32), axis=0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mask_kind", "G", "W", "R", "dedup", "interpret"))
+def tile_run_counts(a_idx, b_idx, bm_words, nsteps, a_fields,
+                    b_fields=None, *, mask_kind: str, G: int, W: int = 8,
+                    R: int = 8, dedup: bool = False,
+                    interpret: bool = False):
+    """Run the run-block count kernel (see _run_count_kernel).
+
+    - ``a_idx``: (S_cap,) int32 a-tile index per step.
+    - ``b_idx``: (S_cap * W,) int32 aligned run indices (tj >> log2(R)) in
+      the low 16 bits; pad entries point at the NaN pad run.
+    - ``bm_words``: (S_cap * W,) int32 per-run words with 4 band bits per
+      tile (tile t of the run at bits [4t, 4t+4)); pad entries carry 0.
+
+    Returns ``counts`` (S_cap * W * R,) int32: exact contact counts of
+    every (step, w, t) tile pair (zero for dead tiles/pads).
+    """
+    S_cap = a_idx.shape[0]
+    if b_fields is None:
+        b_fields = a_fields
+    Fa, Fb = MASK_FIELD_COUNTS[mask_kind]
+    assert len(a_fields) == Fa and len(b_fields) == Fb, \
+        (mask_kind, len(a_fields), len(b_fields))
+    assert R * 4 <= 32
+
+    def pack_a(fields):
+        T = fields[0].shape[0]
+        stackd = jnp.stack(fields, axis=1)
+        nf = len(fields)
+        if nf < 8:
+            stackd = jnp.concatenate(
+                [stackd, jnp.zeros((T, 8 - nf, G), stackd.dtype)], axis=1)
+        return jnp.concatenate(
+            [stackd, jnp.full((1, 8, G), jnp.nan, stackd.dtype)], axis=0)
+
+    def pack_b(fields):
+        # pad dim 0 to a multiple of R with NaN tiles, then append one
+        # all-NaN pad run (block index T_r // R) for pad b entries
+        T = fields[0].shape[0]
+        T_r = -(-T // R) * R
+        stackd = jnp.stack(fields, axis=1)
+        nf = len(fields)
+        if nf < 8:
+            stackd = jnp.concatenate(
+                [stackd, jnp.zeros((T, 8 - nf, G), stackd.dtype)], axis=1)
+        return jnp.concatenate(
+            [stackd,
+             jnp.full((T_r - T + R, 8, G), jnp.nan, stackd.dtype)], axis=0)
+
+    a_packed = pack_a(a_fields)
+    b_packed = pack_b(b_fields)
+
+    a_spec = pl.BlockSpec(
+        (1, 8, G), lambda s, ai, bi, bm, ns: (ai[s], 0, 0))
+
+    def b_spec(w):
+        return pl.BlockSpec(
+            (R, 8, G),
+            lambda s, ai, bi, bm, ns, w=w: (bi[s * W + w] & 0xFFFF, 0, 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(S_cap,),
+        in_specs=[a_spec] + [b_spec(w) for w in range(W)],
+        out_specs=[
+            pl.BlockSpec((1, W * R, 128), lambda s, *_: (s, 0, 0)),
+        ],
+    )
+
+    kernel = functools.partial(_run_count_kernel, mask_kind, G, W, R, dedup)
+    (out,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((S_cap, W * R, 128), jnp.float32),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(a_idx, b_idx, bm_words, nsteps, a_packed, *([b_packed] * W))
+    # lane reduction in XLA (exact: counts <= G*G < 2^24 in f32)
+    return out.sum(axis=2).astype(jnp.int32).reshape(S_cap * W * R)
+
+
 def _group_emit_kernel(mask_kind: str, G: int, W: int, ROW_CAP: int,
                        CAP_PAIR: int, dedup: bool, CAPROWS: int,
                        ai_ref, bi_ref, nsteps_ref,   # scalar prefetch

@@ -267,6 +267,36 @@ def _group_pairs(packed, band, npairs, W: int, S_cap: int, T_pad: int):
     return a_idx, b_idx, nsteps
 
 
+def _leader_group(ti_flat, valid, payloads, pads, W: int, S_cap: int):
+    """Shared W-per-a-tile leader grouping: pack the valid entries of a
+    (ti-sorted) flat list W per step so a grouped kernel fetches each
+    a-tile block once per step.  ``payloads`` is a tuple of per-entry value
+    arrays scattered into the same (S_cap * W,) slot layout (``pads`` are
+    their pad-slot fill values).
+
+    Returns ``(a_idx (S_cap,), grouped payload tuple, nsteps)``.
+    """
+    Nf = ti_flat.shape[0]
+    v = valid.astype(jnp.int32)
+    cv_ex = jnp.cumsum(v) - v
+    prev_ti = jnp.concatenate([jnp.full((1,), -1, jnp.int32), ti_flat[:-1]])
+    is_run_start = ti_flat != prev_ti
+    run_base = jax.lax.cummax(jnp.where(is_run_start, cv_ex, -1))
+    posr = cv_ex - run_base              # rank among the run's valid entries
+    is_leader = valid & (posr % W == 0)
+    lead_cum = jnp.cumsum(is_leader.astype(jnp.int32))
+    gid = lead_cum - 1
+    nsteps = lead_cum[-1]
+    a_dst = jnp.where(is_leader, gid, S_cap)
+    a_idx = jnp.zeros((S_cap,), jnp.int32).at[a_dst].set(
+        ti_flat, mode="drop")
+    b_dst = jnp.where(valid, gid * W + posr % W, S_cap * W)
+    grouped = tuple(
+        jnp.full((S_cap * W,), pad, jnp.int32).at[b_dst].set(p, mode="drop")
+        for p, pad in zip(payloads, pads))
+    return a_idx, grouped, nsteps
+
+
 @partial(jax.jit, static_argnames=("W", "S2_cap", "T_pad"))
 def _regroup_emit(a_idx, b_idx, counts, W: int, S2_cap: int, T_pad: int):
     """Regroup the pairs with nonzero counts (kernel A's output) for the
@@ -279,26 +309,110 @@ def _regroup_emit(a_idx, b_idx, counts, W: int, S2_cap: int, T_pad: int):
     """
     SW = b_idx.shape[0]
     Win = SW // a_idx.shape[0]
-    lane = jnp.arange(SW, dtype=jnp.int32)
     valid = counts > 0
     ti_flat = jnp.repeat(a_idx, Win)
     payload = (b_idx & 0xFFFFF) | (jnp.minimum(counts, 255) << 20)
-    cv_ex = jnp.cumsum(valid.astype(jnp.int32)) - valid
-    prev_ti = jnp.concatenate([jnp.full((1,), -1, jnp.int32), ti_flat[:-1]])
-    is_run_start = ti_flat != prev_ti
-    run_base = jax.lax.cummax(jnp.where(is_run_start, cv_ex, -1))
-    posr = cv_ex - run_base              # rank among the run's valid entries
-    is_leader = valid & (posr % W == 0)
-    lead_cum = jnp.cumsum(is_leader.astype(jnp.int32))
-    gid = lead_cum - 1
-    nsteps2 = lead_cum[-1]
-    a_dst = jnp.where(is_leader, gid, S2_cap)
-    a_idx2 = jnp.zeros((S2_cap,), jnp.int32).at[a_dst].set(
-        ti_flat, mode="drop")
-    b_dst = jnp.where(valid, gid * W + posr % W, S2_cap * W)
-    b_idx2 = jnp.full((S2_cap * W,), T_pad, jnp.int32
-                      ).at[b_dst].set(payload, mode="drop")
+    a_idx2, (b_idx2,), nsteps2 = _leader_group(
+        ti_flat, valid, (payload,), (T_pad,), W, S2_cap)
     return a_idx2, b_idx2, nsteps2
+
+
+@partial(jax.jit, static_argnames=("W", "S_cap", "R", "pad_run"))
+def _group_runs(packed, band, npairs, W: int, S_cap: int, R: int,
+                pad_run: int):
+    """Collapse the phase-1 pair list into aligned b-tile runs for the
+    run-block count kernel (ops/tile_contact.tile_run_counts): sorted
+    (ti, tj) pairs sharing (ti, tj >> log2(R)) merge into one run whose
+    int32 word carries 4 band bits per tile (OR-packed via disjoint-field
+    scatter-add — phase 1 emits unique pairs).  Runs then leader-group W
+    per a-tile exactly like _group_pairs.  At 1M, 190k pairs collapse to
+    66k R=8 runs: ~3x fewer b DMAs and grid steps for the count kernel.
+
+    Returns ``(a_idx (S_cap,), run_idx (S_cap * W,), bm_words
+    (S_cap * W,), nsteps)``; pad run entries point at the NaN pad run
+    (block index ``pad_run``) with word 0.
+    """
+    P_cap = packed.shape[0]
+    lane = jnp.arange(P_cap, dtype=jnp.int32)
+    valid = lane < npairs
+    pk_u = jax.lax.bitcast_convert_type(
+        jnp.where(valid, packed, -1), jnp.uint32)
+    pk_s, band_s = jax.lax.sort((pk_u, band), num_keys=1)
+    pk = jax.lax.bitcast_convert_type(pk_s, jnp.int32)
+    ti = (pk >> 16) & 0xFFFF
+    tj = pk & 0xFFFF
+    log2R = R.bit_length() - 1
+    rk = (ti << (16 - log2R)) | (tj >> log2R)    # unique per run (< 2^29)
+    prev_rk = jnp.concatenate([jnp.full((1,), -1, jnp.int32), rk[:-1]])
+    is_rstart = (rk != prev_rk) & valid
+    rs = is_rstart.astype(jnp.int32)
+    rid_in = jnp.cumsum(rs)
+    rid = rid_in - 1                             # run id of every pair
+    nruns = rid_in[-1]
+    NR = S_cap * W
+    dst = jnp.where(valid, rid, NR)
+    # 4-bit fields are disjoint per (unique) pair, so add == OR; tile 7's
+    # band bit 3 lands in the sign bit — harmless, the kernel decodes with
+    # (word >> 4t) & 0xF
+    words = jnp.zeros((NR,), jnp.int32).at[dst].add(
+        band_s << (4 * (tj & (R - 1))), mode="drop")
+    rstart_dst = jnp.where(is_rstart, rid, NR)
+    ti_r = jnp.zeros((NR,), jnp.int32).at[rstart_dst].set(ti, mode="drop")
+    base_r = jnp.zeros((NR,), jnp.int32).at[rstart_dst].set(
+        tj >> log2R, mode="drop")
+    rvalid = jnp.arange(NR, dtype=jnp.int32) < nruns
+    a_idx, (run_idx, bm_grp), nsteps = _leader_group(
+        ti_r, rvalid, (base_r, words), (pad_run, 0), W, S_cap)
+    return a_idx, run_idx, bm_grp, nsteps
+
+
+@partial(jax.jit, static_argnames=("W2", "S2_cap", "E2_cap", "T_pad", "R"))
+def _regroup_emit_runs(a_idx, run_idx, bm_words, counts, W2: int,
+                       S2_cap: int, E2_cap: int, T_pad: int, R: int):
+    """Regroup the (tile) pairs with nonzero counts for the emit kernel
+    (payload ``tj | band << 16 | cnt << 20``, exactly like _regroup_emit).
+
+    ``counts`` is tile_run_counts' (S_cap * W * R,) output in (step, w, t)
+    order — almost entirely dead (only ~7%% of candidate *pairs* have
+    contacts, and the step grid itself is padded), so working on the flat
+    expansion directly costs ~30 ms at 1M in scans/scatters.  Two-level
+    scheme instead: (1) compact the *run slots* with any live tile
+    (<= live pairs <= capacity) into an (E2_cap,) slot list — the only
+    full-width pass is one cumsum + one scatter over S_cap * W; (2) gather
+    those runs' metadata and counts and expand them R-wide (E2_cap * R
+    entries) for the leader grouping.
+
+    Returns ``(a_idx2, b_idx2, nsteps2, over2)`` (``over2``: more live
+    runs than E2_cap — grow ``capacity``).
+    """
+    SW = run_idx.shape[0]
+    Win = SW // a_idx.shape[0]
+    rc = counts.reshape(SW, R)
+    run_live = rc.max(axis=1) > 0
+    e_slots, nlive = _compact_flat(
+        run_live, jnp.arange(SW, dtype=jnp.int32), E2_cap)
+    over2 = nlive > E2_cap
+    # gather the live runs' metadata (order-preserving, so ti stays sorted)
+    ti_r = a_idx[jnp.minimum(e_slots // Win, a_idx.shape[0] - 1)]
+    base_r = run_idx[e_slots] & 0xFFFF
+    words_r = bm_words[e_slots]
+    cnt_r = rc[e_slots]                          # (E2_cap, R)
+    # expand R-wide
+    E = E2_cap * R
+    ti_flat = jnp.repeat(ti_r, R)
+    t = jnp.arange(E, dtype=jnp.int32) % R
+    band4 = (jnp.repeat(words_r, R) >> (4 * t)) & 0xF
+    tj = jnp.repeat(base_r, R) * R + t
+    cnt = cnt_r.reshape(E)
+    el = jnp.arange(E, dtype=jnp.int32)
+    valid = (cnt > 0) & (el < nlive * R)
+    # dead entries never reach the kernel, but clamp their tj to the pad
+    # tile so the payload's 16-bit field can't overflow near T = 2^16
+    tj_c = jnp.where(valid, tj, T_pad)
+    payload = tj_c | (band4 << 16) | (jnp.minimum(cnt, 255) << 20)
+    a_idx2, (b_idx2,), nsteps2 = _leader_group(
+        ti_flat, valid, (payload,), (T_pad,), W2, S2_cap)
+    return a_idx2, b_idx2, nsteps2, over2
 
 
 def _tiled_fields(bvh: BVH, G: int):
@@ -473,8 +587,8 @@ def traverse_tiles_fixed(bvh: BVH, capacity: int, *,
     x band size — the tile engine's analogue of the reference's traversal
     self-metric, ref traverse.jl:48,59).
     """
-    from ..ops.tile_contact import (tile_group_contacts, tile_group_counts,
-                                    tile_group_emit)
+    from ..ops.tile_contact import (tile_group_contacts, tile_group_emit,
+                                    tile_run_counts)
 
     alg = alg or TileTraversal()
     G = alg.tile
@@ -491,12 +605,7 @@ def traverse_tiles_fixed(bvh: BVH, capacity: int, *,
         tile_lo, tile_up, sub_lo, sub_up, G, pair_capacity)
     pair_overflow = npairs > pair_capacity
 
-    # regroup by shared a-tile for the grouped wide kernel
     W = 8
-    S_cap, CHUNK = _step_caps(pair_capacity // W + T)
-    a_idx, b_idx, nsteps = _group_pairs(packed, band, npairs, W, S_cap, T)
-    pair_overflow |= nsteps > S_cap
-
     narrow_fn = None
     if narrow is not None:
         leaves = bvh.leaves
@@ -508,19 +617,42 @@ def traverse_tiles_fixed(bvh: BVH, capacity: int, *,
 
     use_two_phase = alg.pair_cap <= 128 and capacity % 1024 == 0
     if use_two_phase:
-        # two-phase: count kernel (no compaction, no scalar syncs) -> XLA
-        # regroup of the ~7-15% of pairs with contacts -> emit kernel whose
-        # control flow (skip / append length / flush cursor) is entirely
-        # scalar-prefetch-driven, streaming contacts dense to HBM
+        # two-phase: run-block count kernel (aligned (R, 8, G) b-slab DMAs,
+        # no compaction, no scalar syncs) -> XLA regroup of the ~7-15% of
+        # pairs with contacts -> emit kernel whose control flow (skip /
+        # append length / flush cursor) is entirely scalar-prefetch-driven,
+        # streaming contacts dense to HBM
+        R = 8
+        # half-size chunks: the run path prefetches TWO (CHUNK * W,) int32
+        # arrays (run indices + band words) and SMEM holds 1 MB total
+        S_cap, CHUNK = _step_caps(pair_capacity // W + T)
+        if CHUNK > 1 << 13:
+            CHUNK = 1 << 13
+            S_cap = -(-S_cap // CHUNK) * CHUNK
+        pad_run = (-(-T // R) * R) // R
+        a_idx, run_idx, bm_grp, nsteps = _group_runs(
+            packed, band, npairs, W, S_cap, R, pad_run)
+        pair_overflow |= nsteps > S_cap
+        mask_kind = "sphere" if sphere else "box"
         cnt_parts = []
         for start in range(0, S_cap, CHUNK):
             ns_c = jnp.clip(nsteps - start, 0, CHUNK)
-            cnt_parts.append(tile_group_counts(
-                a_idx[start:start + CHUNK],
-                b_idx[start * W:(start + CHUNK) * W],
-                ns_c.reshape(1).astype(jnp.int32), fields,
-                mask_kind="sphere" if sphere else "box", G=G, W=W,
-                dedup=True, interpret=interpret))
+
+            def run_chunk(start=start, ns_c=ns_c):
+                return tile_run_counts(
+                    a_idx[start:start + CHUNK],
+                    run_idx[start * W:(start + CHUNK) * W],
+                    bm_grp[start * W:(start + CHUNK) * W],
+                    ns_c.reshape(1).astype(jnp.int32), fields,
+                    mask_kind=mask_kind, G=G, W=W, R=R,
+                    dedup=True, interpret=interpret)
+
+            # generous S_cap leaves whole chunks dead on typical scenes;
+            # their counts are identically zero, so skip the kernel launch
+            # (a dead grid still costs ~0.3 us/step in DMA issue)
+            cnt_parts.append(jax.lax.cond(
+                ns_c > 0, run_chunk,
+                lambda: jnp.zeros((CHUNK * W * R,), jnp.int32)))
         # The barrier is load-bearing: counts has two consumers (the valid
         # chain and the packed payload below), and XLA duplicates the cheap
         # slice-of-pallas-output chain into both — the later copy re-reads
@@ -532,9 +664,10 @@ def traverse_tiles_fixed(bvh: BVH, capacity: int, *,
 
         W2 = 4
         S2_cap, CHUNK2 = _step_caps(T + capacity // (8 * W2))
-        a_idx2, b_idx2, nsteps2 = _regroup_emit(
-            a_idx, b_idx, counts, W2, S2_cap, T)
-        cap_overflow = nsteps2 > S2_cap
+        E2_cap = max(4096, capacity // 8)
+        a_idx2, b_idx2, nsteps2, over2 = _regroup_emit_runs(
+            a_idx, run_idx, bm_grp, counts, W2, S2_cap, E2_cap, T, R)
+        cap_overflow = (nsteps2 > S2_cap) | over2
         parts = []
         for start in range(0, S2_cap, CHUNK2):
             ns_c = jnp.clip(nsteps2 - start, 0, CHUNK2)
@@ -542,7 +675,7 @@ def traverse_tiles_fixed(bvh: BVH, capacity: int, *,
                 a_idx2[start:start + CHUNK2],
                 b_idx2[start * W2:(start + CHUNK2) * W2],
                 ns_c.reshape(1).astype(jnp.int32), fields,
-                mask_kind="sphere" if sphere else "box", G=G, W=W2,
+                mask_kind=mask_kind, G=G, W=W2,
                 ROW_CAP=alg.row_cap, CAP_PAIR=alg.pair_cap,
                 dedup=True, CAP=capacity, interpret=interpret)
             parts.append((gi_c, gj_c, tot_c))
@@ -561,6 +694,10 @@ def traverse_tiles_fixed(bvh: BVH, capacity: int, *,
         ) * (G // N_BANDS) * G
         return total, contacts, overflow, num_checks
 
+    # regroup by shared a-tile for the grouped wide kernel
+    S_cap, CHUNK = _step_caps(pair_capacity // W + T)
+    a_idx, b_idx, nsteps = _group_pairs(packed, band, npairs, W, S_cap, T)
+    pair_overflow |= nsteps > S_cap
     slot_parts, cnt_parts = [], []
     slot_overflow = jnp.zeros((), jnp.bool_)
     for start in range(0, S_cap, CHUNK):
