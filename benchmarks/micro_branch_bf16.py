@@ -84,26 +84,32 @@ def run_branch():
 def _mask_kernel(R, dtype, a_ref, b_ref, out_ref):
     a_blk = a_ref[:]                   # (8, G) dtype
     b_blk = b_ref[:]                   # (8, WG)
-    one = jnp.asarray(1e-7, dtype)
+    one = jnp.float32(1e-7)
     # 16-bit lane->sublane reshape is unsupported in Mosaic: relayout the
     # a columns in f32, then cast down
     acols = [a_blk[k].astype(jnp.float32)[:, None].astype(dtype)
              for k in range(4)]
 
     def body(i, carry):
+        # f32 loop carry: a bf16 carry fails Mosaic's scf.for legalization
         acc, bump = carry
-        a = [acols[k] + bump for k in range(4)]
+        bump_d = bump.astype(dtype)
+        a = [acols[k] + bump_d for k in range(4)]
         b = [b_blk[k][None, :] for k in range(4)]
         dx = a[0] - b[0]
         dy = a[1] - b[1]
         dz = a[2] - b[2]
         rr = a[3] + b[3]
-        m = dx * dx + dy * dy + dz * dz <= rr * rr
+        # Mosaic rejects bf16 vector compares: arithmetic in ``dtype``,
+        # compare in f32
+        lhs = (dx * dx + dy * dy + dz * dz).astype(jnp.float32)
+        rhs = (rr * rr).astype(jnp.float32)
+        m = lhs <= rhs
         acc = acc + jnp.sum(m.astype(jnp.float32))
         return acc, bump + one
 
     acc, _ = jax.lax.fori_loop(
-        0, R, body, (jnp.float32(0), jnp.asarray(0, dtype)))
+        0, R, body, (jnp.float32(0), jnp.float32(0)))
     out_ref[0, 0] = acc
 
 

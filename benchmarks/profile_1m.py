@@ -17,10 +17,10 @@ import jax.numpy as jnp
 
 import implicitbvh_tpu as ib
 from implicitbvh_tpu.traverse import TileTraversal, traverse_tiles_fixed
-from implicitbvh_tpu.traverse.tiles import _pair_capacity_for
 from implicitbvh_tpu.traverse.tiles import (
-    _extract_contacts, _group_pairs, _phase1_tile_pairs, _tiled_fields)
-from implicitbvh_tpu.ops.tile_contact import tile_group_contacts
+    _pair_capacity_for, _phase1_tile_runs, _regroup_emit_runs,
+    _step_caps, _tiled_fields)
+from implicitbvh_tpu.ops.tile_contact import tile_run_counts
 
 K = 5
 
@@ -32,7 +32,8 @@ def timed(fn, *args):
         def body(i, carry):
             a0, acc = carry
             dep = fn(a0, *a[1:])
-            a0n = jax.tree_util.tree_map(lambda x: x + 1e-12 * dep, a0)
+            a0n = jax.tree_util.tree_map(
+                lambda x: x + (1e-12 * dep).astype(x.dtype), a0)
             return (a0n, acc + dep)
         _, acc = jax.lax.fori_loop(0, K, body, (a[0], jnp.float32(0)))
         return acc
@@ -70,44 +71,59 @@ def main():
         return s.xs[0].sum() + s.r.sum()
 
     def s_build(q1, q2, q3):
+        # leaf-only dep: the tile pipeline never reads internal nodes, so
+        # XLA DCEs the aggregation in the fused program — this stage
+        # matches what `full` actually pays (encode + variadic sort)
+        s = ib.bsphere_from_triangles(q1, q2, q3)
+        bvh = ib.build(s, ib.BBox)
+        return bvh.leaves.volume.xs[0].sum() + bvh.leaves.volume.r[0]
+
+    def s_build_nodes(q1, q2, q3):
         s = ib.bsphere_from_triangles(q1, q2, q3)
         bvh = ib.build(s, ib.BBox)
         return bvh.nodes.los[0].sum() + bvh.leaves.volume.xs[0][0]
 
-    W = 8
-    CHUNK = 1 << 14
+    W, R = 8, 8
     T_tiles = -(-n_tri // G)
-    S_cap = -(-(pair_capacity // W + T_tiles) // CHUNK) * CHUNK
+    S_cap, CHUNK = _step_caps(pair_capacity // W + T_tiles)
+    if CHUNK > 1 << 13:
+        CHUNK = 1 << 13
+        S_cap = -(-S_cap // CHUNK) * CHUNK
+    pad_run = (-(-T_tiles // R) * R) // R
 
-    def s_phase1(q1, q2, q3):
+    def _front(q1, q2, q3):
         s = ib.bsphere_from_triangles(q1, q2, q3)
         bvh = ib.build(s, ib.BBox)
         fields, sphere, tile_lo, tile_up, sub_lo, sub_up, T_ = \
             _tiled_fields(bvh, G)
-        packed, band, npairs = _phase1_tile_pairs(
-            tile_lo, tile_up, sub_lo, sub_up, G, pair_capacity)
-        a_idx, b_idx, nsteps = _group_pairs(packed, band, npairs, W, S_cap, T_)
-        return (a_idx.sum().astype(jnp.float32) + b_idx[0] +
+        a_idx, run_idx, bm_grp, nsteps, num_checks, p1_over = \
+            _phase1_tile_runs(tile_lo, tile_up, sub_lo, sub_up, G,
+                              pair_capacity, W, S_cap, R, pad_run)
+        return bvh, fields, a_idx, run_idx, bm_grp, nsteps
+
+    def s_phase1(q1, q2, q3):
+        bvh, fields, a_idx, run_idx, bm_grp, nsteps = _front(q1, q2, q3)
+        return (a_idx.sum().astype(jnp.float32) + run_idx[0] + bm_grp[0] +
                 nsteps.astype(jnp.float32))
 
     def s_kernel(q1, q2, q3):
-        s = ib.bsphere_from_triangles(q1, q2, q3)
-        bvh = ib.build(s, ib.BBox)
-        fields, sphere, tile_lo, tile_up, sub_lo, sub_up, T_ = \
-            _tiled_fields(bvh, G)
-        packed, band, npairs = _phase1_tile_pairs(
-            tile_lo, tile_up, sub_lo, sub_up, G, pair_capacity)
-        a_idx, b_idx, nsteps = _group_pairs(packed, band, npairs, W, S_cap, T_)
+        bvh, fields, a_idx, run_idx, bm_grp, nsteps = _front(q1, q2, q3)
         dep = jnp.float32(0)
         for start in range(0, S_cap, CHUNK):
             ns_c = jnp.clip(nsteps - start, 0, CHUNK)
-            slots_c, cnt_c, ov_c = tile_group_contacts(
-                a_idx[start:start + CHUNK],
-                b_idx[start * W:(start + CHUNK) * W],
-                ns_c.reshape(1).astype(jnp.int32), fields,
-                mask_kind="sphere", G=G, W=W, ROW_CAP=alg.row_cap,
-                CAP_PAIR=alg.pair_cap, dedup=True)
-            dep += cnt_c.sum().astype(jnp.float32)
+
+            def run_chunk(start=start, ns_c=ns_c):
+                return tile_run_counts(
+                    a_idx[start:start + CHUNK],
+                    run_idx[start * W:(start + CHUNK) * W],
+                    bm_grp[start * W:(start + CHUNK) * W],
+                    ns_c.reshape(1).astype(jnp.int32), fields,
+                    mask_kind="sphere", G=G, W=W, R=R, dedup=True)
+
+            cnts = jax.lax.cond(
+                ns_c > 0, run_chunk,
+                lambda: jnp.zeros((CHUNK * W * R,), jnp.int32))
+            dep += cnts.sum().astype(jnp.float32)
         return dep
 
     def s_full(q1, q2, q3):
@@ -140,6 +156,10 @@ def main():
         print(f"{name:10s} cumulative {ms:8.2f} ms   delta {ms - prev:8.2f} ms",
               flush=True)
         prev = ms
+    # out-of-chain: build including node aggregation (what a user pays if
+    # they consume bvh.nodes — the tile pipeline itself does not)
+    ms = timed(s_build_nodes, p1, p2, p3)
+    print(f"build+nodes (out of chain) {ms:8.2f} ms", flush=True)
 
 
 if __name__ == "__main__":

@@ -453,375 +453,26 @@ def _stream_flush(stage_gi, stage_gj, gi_hbm, gj_hbm, sems, cur_ref,
     cur_ref[1] = fr + 8
 
 
-def _group_stream_kernel(mask_kind: str, G: int, W: int, ROW_CAP: int,
-                         CAP_PAIR: int, dedup: bool, CAPROWS: int,
-                         ai_ref, bi_ref, nsteps_ref,   # scalar prefetch
-                         *refs):
-    """Grouped banded kernel emitting a *dense* contact stream.
-
-    Same phase-A structure as _group_kernel (one a-tile vs W banded
-    b-tiles), but instead of padded per-pair slot rows, each pair's
-    compacted (1, 128) gi/gj rows are appended at a running SMEM cursor
-    into a circular VMEM stage (pltpu.roll by cursor%128 + branchless
-    row-select), flushed to HBM in aligned (8, 128) blocks — so the
-    downstream contact extraction needs no gather-based compaction at all
-    (it was 13.7 ms of post-processing at 1M).  The kernel-side analogue
-    of the reference's allocation-exact two-pass output
-    (ref traverse/leaf_vs_tree/traverse_single.jl:52-78).
-
-    refs: a block; W b blocks; outputs gi_hbm (CAPROWS, 128) f32 [ANY],
-    gj_hbm [ANY], meta (1, 128) f32 [VMEM, constant block]; scratch:
-    mscr (G, G) f32, rows_gi/rows_gj (W, 128) f32, cnt (W,) i32 SMEM,
-    cur (4,) i32 SMEM, stage_gi/stage_gj (_STAGE_ROWS, 128) f32,
-    sems DMA x2.
-    """
-    aref = refs[0]
-    brefs = refs[1:1 + W]
-    gi_hbm, gj_hbm, meta = refs[1 + W:4 + W]
-    (mscr, rows_gi_scr, rows_gj_scr, cnt_scr, cur_ref,
-     stage_gi, stage_gj, sems) = refs[4 + W:]
-    BH = G // N_BANDS
-
-    s = pl.program_id(0)
-    S_total = pl.num_programs(0)
-
-    @pl.when(s == 0)
-    def _():
-        cur_ref[0] = 0      # contact cursor
-        cur_ref[1] = 0      # flushed rows
-        cur_ref[2] = 0      # overflow flag
-
-    step_valid = s < nsteps_ref[0]
-
-    @pl.when(step_valid)
-    def _():
-        a_blk = aref[0]
-        cols = _acols(mask_kind, a_blk)
-        ti = ai_ref[s]
-        lane = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
-        sub = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
-        for w in range(W):
-            bw = bi_ref[s * W + w]
-            tj = bw & 0xFFFF
-            bm = (bw >> 16) & ((1 << N_BANDS) - 1)
-            b_blk = brefs[w][0]
-            mscr[:, :] = jnp.zeros((G, G), jnp.float32)
-            for r in range(N_BANDS):
-                @pl.when(((bm >> r) & 1) != 0)
-                def _(r=r, b_blk=b_blk):
-                    m = _band_mask(mask_kind, cols, b_blk, r * BH, BH)
-                    mscr[r * BH:(r + 1) * BH, :] = m.astype(jnp.float32)
-            mi = mscr[:, :]
-            gj = tj * G + lane
-            if dedup:
-                mi = jnp.where(gj > ti * G + sub, mi, 0.0)
-            total = jnp.sum(mi)
-            total_i = total.astype(jnp.int32)
-            cnt_scr[w] = 0
-
-            @pl.when(total > 0.0)
-            def _(w=w, ti=ti, tj=tj, mi=mi, gj=gj, total=total,
-                  total_i=total_i):
-                gi_row, gj_row, over = _pair_compact_rows(
-                    G, ROW_CAP, CAP_PAIR, ti, tj, mi, gj, total)
-                if CAP_PAIR < 128:
-                    z = jnp.zeros((1, 128 - CAP_PAIR), jnp.float32)
-                    gi_row = jnp.concatenate([gi_row, z], axis=1)
-                    gj_row = jnp.concatenate([gj_row, z], axis=1)
-                rows_gi_scr[w:w + 1, :] = gi_row
-                rows_gj_scr[w:w + 1, :] = gj_row
-                # clamped count; slot-cap overflow rides the sign bit (a
-                # separate pl.when per w would cost a compile region)
-                cnt_scr[w] = jnp.where(over, -jnp.minimum(total_i, CAP_PAIR),
-                                       total_i)
-
-        # phase B: one fori_loop appends the W compacted rows in order
-        rows_gi = rows_gi_scr[:, :]
-        rows_gj = rows_gj_scr[:, :]
-        riW = jax.lax.broadcasted_iota(jnp.int32, (W, 128), 0)
-        ri = jax.lax.broadcasted_iota(jnp.int32, (_STAGE_ROWS, 128), 0)
-        li = jax.lax.broadcasted_iota(jnp.int32, (_STAGE_ROWS, 128), 1)
-
-        def append(w, carry):
-            cnt_s = cnt_scr[w]
-
-            @pl.when(cnt_s != 0)
-            def _():
-                cnt = jnp.abs(cnt_s)
-
-                @pl.when(cnt_s < 0)
-                def _():
-                    cur_ref[2] = cur_ref[2] | 2   # bit 1: slot caps exceeded
-                gi_row = jnp.sum(jnp.where(riW == w, rows_gi, 0.0),
-                                 axis=0, keepdims=True)
-                gj_row = jnp.sum(jnp.where(riW == w, rows_gj, 0.0),
-                                 axis=0, keepdims=True)
-                cur = cur_ref[0]
-                sh = jax.lax.rem(cur, jnp.int32(128))
-                row0 = jax.lax.rem(cur // 128, jnp.int32(_STAGE_ROWS))
-                row1 = jax.lax.rem(row0 + 1, jnp.int32(_STAGE_ROWS))
-                rgi = pltpu.roll(gi_row, sh, axis=1)
-                rgj = pltpu.roll(gj_row, sh, axis=1)
-                m = ((ri == row0) & (li >= sh) & (li < sh + cnt)) | \
-                    ((ri == row1) & (li < sh + cnt - 128))
-                stage_gi[:, :] = jnp.where(
-                    m, jnp.broadcast_to(rgi, (_STAGE_ROWS, 128)),
-                    stage_gi[:, :])
-                stage_gj[:, :] = jnp.where(
-                    m, jnp.broadcast_to(rgj, (_STAGE_ROWS, 128)),
-                    stage_gj[:, :])
-                new_cur = cur + cnt
-                cur_ref[0] = new_cur
-
-                @pl.when(new_cur // 128 - cur_ref[1] >= 8)
-                def _():
-                    _stream_flush(stage_gi, stage_gj, gi_hbm, gj_hbm,
-                                  sems, cur_ref, CAPROWS)
-            return carry
-
-        jax.lax.fori_loop(0, W, append, 0)
-
-    @pl.when(s == S_total - 1)
-    def _():
-        # the stage holds < 2 * 8 pending rows (one flush check per append,
-        # each append adds <= 128 contacts): two final flush rounds drain it
-        for _ in range(2):
-            @pl.when((cur_ref[0] + 127) // 128 > cur_ref[1])
-            def _():
-                _stream_flush(stage_gi, stage_gj, gi_hbm, gj_hbm,
-                              sems, cur_ref, CAPROWS)
-        meta_lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-        meta[0, :] = jnp.where(
-            meta_lane[0] == 0, cur_ref[0].astype(jnp.float32),
-            jnp.where(meta_lane[0] == 1,
-                      cur_ref[2].astype(jnp.float32), 0.0))
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("mask_kind", "G", "W", "ROW_CAP", "CAP_PAIR",
-                     "dedup", "CAP", "interpret"))
-def tile_group_contacts_stream(a_idx, b_idx, nsteps, a_fields,
-                               b_fields=None, *,
-                               mask_kind: str, G: int, W: int = 8,
-                               ROW_CAP: int = 4, CAP_PAIR: int = 32,
-                               dedup: bool = False, CAP: int = 1 << 17,
-                               interpret: bool = False):
-    """Run the streamed grouped kernel (see _group_stream_kernel).
-
-    Same inputs as :func:`tile_group_contacts` (banded ``b_idx`` entries),
-    but the output is a *dense* contact stream: returns
-    ``(gi_flat, gj_flat, total, flags)`` where the leading ``total``
-    elements of the (CAP,) f32 arrays are the global sorted-order
-    positions of every contact, in deterministic kernel order, and
-    ``flags`` is an int32 overflow bitmask (bit 0 = CAP exceeded, bit 1 =
-    ROW_CAP/CAP_PAIR slot caps exceeded).  Requires ``CAP_PAIR <= 128``
-    (per-pair rows append as one lane row) and ``CAP % 1024 == 0``
-    (aligned flush quantum).
-    """
-    S_cap = a_idx.shape[0]
-    if b_fields is None:
-        b_fields = a_fields
-    Fa, Fb = MASK_FIELD_COUNTS[mask_kind]
-    assert len(a_fields) == Fa and len(b_fields) == Fb, \
-        (mask_kind, len(a_fields), len(b_fields))
-    assert CAP_PAIR <= 128 and CAP % 1024 == 0, (CAP_PAIR, CAP)
-    CAPROWS = CAP // 128
-
-    def pack(fields):
-        T = fields[0].shape[0]
-        stackd = jnp.stack(fields, axis=1)
-        nf = len(fields)
-        if nf < 8:
-            stackd = jnp.concatenate(
-                [stackd, jnp.zeros((T, 8 - nf, G), stackd.dtype)], axis=1)
-        return jnp.concatenate(
-            [stackd, jnp.full((1, 8, G), jnp.nan, stackd.dtype)], axis=0)
-
-    a_packed = pack(a_fields)
-    b_packed = pack(b_fields)
-
-    a_spec = pl.BlockSpec(
-        (1, 8, G), lambda s, ai, bi, ns: (ai[s], 0, 0))
-
-    def b_spec(w):
-        return pl.BlockSpec(
-            (1, 8, G),
-            lambda s, ai, bi, ns, w=w: (bi[s * W + w] & 0xFFFF, 0, 0))
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(S_cap,),
-        in_specs=[a_spec] + [b_spec(w) for w in range(W)],
-        out_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 128), lambda s, *_: (0, 0)),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((G, G), jnp.float32),
-            pltpu.VMEM((W, 128), jnp.float32),
-            pltpu.VMEM((W, 128), jnp.float32),
-            pltpu.SMEM((W,), jnp.int32),
-            pltpu.SMEM((4,), jnp.int32),
-            pltpu.VMEM((_STAGE_ROWS, 128), jnp.float32),
-            pltpu.VMEM((_STAGE_ROWS, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-
-    kernel = functools.partial(_group_stream_kernel, mask_kind, G, W,
-                               ROW_CAP, CAP_PAIR, dedup, CAPROWS)
-    gi_hbm, gj_hbm, meta = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((CAPROWS, 128), jnp.float32),
-            jax.ShapeDtypeStruct((CAPROWS, 128), jnp.float32),
-            jax.ShapeDtypeStruct((1, 128), jnp.float32),
-        ],
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT, has_side_effects=True),
-        interpret=interpret,
-    )(a_idx, b_idx, nsteps, a_packed, *([b_packed] * W))
-    total = meta[0, 0].astype(jnp.int32)
-    flags = meta[0, 1].astype(jnp.int32) | jnp.where(total > CAP, 1, 0)
-    return gi_hbm.reshape(-1), gj_hbm.reshape(-1), total, flags
-
-
 # ---------------------------------------------------------------------------
 # Two-phase grouped kernels: count (A) then emit (B)
 #
 # Floor measurements at 1M (benchmarks/RESULTS.md round 3): the single-pass
 # grouped kernel costs 60 ms even with every band dead vs 13.8 ms for the
 # same grid with a trivial body — i.e. ~46 ms is per-pair *fixed* overhead:
-# the (G, G) scratch zero/read/dedup/sum infrastructure and one
-# vector->scalar sync per pair for the ``total > 0`` compaction guard,
-# while the actual live-band mask work is only ~12 ms.  The split removes
-# both: kernel A touches only live (G/N_BANDS, G) bands, accumulates
-# per-lane count rows, and never syncs to scalar; XLA compacts the ~15% of
-# pairs with contacts; kernel B redoes the mask for those pairs only, with
-# their exact counts delivered via scalar prefetch so the compaction guard
-# and the dense-output stream cursor are scalar-only too.  This mirrors the
-# reference's allocation-exact two-pass traversal (count, allocate, emit —
+# the per-step DMA issue (~130 ns/copy) and grid-step sequencing, plus the
+# (G, G) scratch/dedup/sum infrastructure and one vector->scalar sync per
+# pair for the ``total > 0`` compaction guard, while the actual live-band
+# mask work is only ~12 ms.  The split removes both: kernel A (the
+# run-block count kernel below) only counts, with no scratch and no scalar
+# syncs, fetching aligned multi-tile b slabs so the DMA count drops ~3x;
+# XLA compacts the ~7% of pairs with contacts; kernel B redoes the mask for
+# those pairs only, with their exact counts delivered via scalar prefetch
+# so the compaction guard and the dense-output stream cursor are
+# scalar-only too.  This mirrors the reference's allocation-exact two-pass
+# traversal (count, allocate, emit —
 # ref src/traverse/leaf_vs_tree/traverse_single.jl:52-78) at kernel
 # granularity.
 # ---------------------------------------------------------------------------
-
-
-def _group_count_kernel(mask_kind: str, G: int, W: int, dedup: bool,
-                        ai_ref, bi_ref, nsteps_ref,   # scalar prefetch
-                        *refs):
-    """Count-only grouped banded kernel: no compaction, no scalar syncs.
-
-    Per pair, each live band's (G/N_BANDS, G) mask is reduced over sublanes
-    and accumulated into the pair's (1, 128) output row; at step end a
-    log-roll all-reduce leaves the pair total replicated across every lane
-    (so the XLA side reads lane 0 — no in-kernel vector->scalar sync).
-    Dead pairs (band bits 0, including pad slots) skip at the scalar level.
-    """
-    aref = refs[0]
-    brefs = refs[1:1 + W]
-    out = refs[1 + W]          # (1, W, 128) f32 count rows
-    BH = G // N_BANDS
-
-    s = pl.program_id(0)
-    step_valid = s < nsteps_ref[0]
-
-    out[0, :, :] = jnp.zeros((W, 128), jnp.float32)
-
-    @pl.when(step_valid)
-    def _():
-        a_blk = aref[0]
-        cols = _acols(mask_kind, a_blk)
-        ti = ai_ref[s]
-        for w in range(W):
-            bw = bi_ref[s * W + w]
-            tj = bw & 0xFFFF
-            bm = (bw >> 16) & ((1 << N_BANDS) - 1)
-            b_blk = brefs[w][0]
-            for r in range(N_BANDS):
-                @pl.when(((bm >> r) & 1) != 0)
-                def _(r=r, b_blk=b_blk, tj=tj, w=w):
-                    m = _band_mask(mask_kind, cols, b_blk, r * BH, BH)
-                    if dedup:
-                        gi_b = ti * G + r * BH + jax.lax.broadcasted_iota(
-                            jnp.int32, (BH, G), 0)
-                        gj_b = tj * G + jax.lax.broadcasted_iota(
-                            jnp.int32, (BH, G), 1)
-                        m = m & (gj_b > gi_b)
-                    out[0, w, 0:G] = out[0, w, 0:G] + jnp.sum(
-                        m.astype(jnp.float32), axis=0)
-        # all-lanes roll-reduce: every lane of each row ends up holding the
-        # pair's total count (the XLA side slices lane 0)
-        rows = out[0, :, :]
-        sh = 1
-        while sh < 128:
-            rows = rows + pltpu.roll(rows, sh, axis=1)
-            sh *= 2
-        out[0, :, :] = rows
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("mask_kind", "G", "W", "dedup", "interpret"))
-def tile_group_counts(a_idx, b_idx, nsteps, a_fields, b_fields=None, *,
-                      mask_kind: str, G: int, W: int = 8,
-                      dedup: bool = False, interpret: bool = False):
-    """Run the count-only grouped kernel (see _group_count_kernel).
-
-    Same inputs as :func:`tile_group_contacts`.  Returns ``counts``
-    (S_cap * W,) int32: the exact contact count of every candidate pair.
-    """
-    S_cap = a_idx.shape[0]
-    if b_fields is None:
-        b_fields = a_fields
-    Fa, Fb = MASK_FIELD_COUNTS[mask_kind]
-    assert len(a_fields) == Fa and len(b_fields) == Fb, \
-        (mask_kind, len(a_fields), len(b_fields))
-
-    def pack(fields):
-        T = fields[0].shape[0]
-        stackd = jnp.stack(fields, axis=1)
-        nf = len(fields)
-        if nf < 8:
-            stackd = jnp.concatenate(
-                [stackd, jnp.zeros((T, 8 - nf, G), stackd.dtype)], axis=1)
-        return jnp.concatenate(
-            [stackd, jnp.full((1, 8, G), jnp.nan, stackd.dtype)], axis=0)
-
-    a_packed = pack(a_fields)
-    b_packed = pack(b_fields)
-
-    a_spec = pl.BlockSpec(
-        (1, 8, G), lambda s, ai, bi, ns: (ai[s], 0, 0))
-
-    def b_spec(w):
-        return pl.BlockSpec(
-            (1, 8, G),
-            lambda s, ai, bi, ns, w=w: (bi[s * W + w] & 0xFFFF, 0, 0))
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(S_cap,),
-        in_specs=[a_spec] + [b_spec(w) for w in range(W)],
-        out_specs=[
-            pl.BlockSpec((1, W, 128), lambda s, *_: (s, 0, 0)),
-        ],
-    )
-
-    kernel = functools.partial(_group_count_kernel, mask_kind, G, W, dedup)
-    (out,) = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((S_cap, W, 128), jnp.float32),
-        ],
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT),
-        interpret=interpret,
-    )(a_idx, b_idx, nsteps, a_packed, *([b_packed] * W))
-    return out[:, :, 0].astype(jnp.int32).reshape(S_cap * W)
 
 
 def _run_count_kernel(mask_kind: str, G: int, W: int, R: int, dedup: bool,
@@ -1150,12 +801,15 @@ def tile_group_emit(a_idx, b_idx, nsteps, a_fields, b_fields=None, *,
     """Run the emit kernel over pre-counted pairs (see _group_emit_kernel).
 
     ``b_idx`` entries pack ``tj | band << 16 | cnt << 20`` where ``cnt``
-    is the pair's exact contact count from :func:`tile_group_counts`
+    is the pair's exact contact count from :func:`tile_run_counts`
     (pad slots carry cnt = 0).  Returns ``(gi_flat, gj_flat, total,
-    flags)`` like :func:`tile_group_contacts_stream`; ``flags`` bit 1 here
-    covers ROW_CAP violations only (CAP_PAIR violations are visible to the
-    caller in kernel A's counts).  Requires ``CAP_PAIR <= 128`` and
-    ``CAP % 1024 == 0``.
+    flags)``: the leading ``total`` elements of the (CAP,) f32 arrays are
+    the global sorted-order positions of every contact in deterministic
+    kernel order; ``flags`` is an overflow bitmask whose bit 1 covers
+    ROW_CAP violations only (CAP_PAIR violations are visible to the
+    caller in the count kernel's output).  Requires ``CAP_PAIR <= 128``
+    (per-pair rows append as one lane row) and ``CAP % 1024 == 0``
+    (aligned flush quantum).
     """
     S_cap = a_idx.shape[0]
     if b_fields is None:

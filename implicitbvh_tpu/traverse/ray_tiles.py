@@ -138,6 +138,56 @@ def _ray_tile_hits(rfields, tile_lo, tile_up):
     return jax.lax.map(block, stacked).reshape(RTB * MB, T)[:RT]
 
 
+@partial(jax.jit, static_argnames=("W", "S_cap", "R", "pad_run"))
+def _phase1_ray_runs(rfields, tile_lo, tile_up, W: int, S_cap: int,
+                     R: int, pad_run: int):
+    """Run-granularity candidate extraction for the two-phase ray path:
+    per ray tile, its candidate *aligned leaf-tile runs* (R consecutive
+    leaf tiles sharing one (R, 8, G) slab DMA) are W-grouped per step,
+    with 4 ray-sub-band bits per leaf tile packed into one int32 word per
+    run — the direct input of ops/tile_contact.tile_run_counts.
+
+    Unlike the self-contact side, the (RT, T) hit-bit matrix is already
+    dense and row-major, so run words are one exact int32 weighted
+    reshape-sum and no sort is needed.
+
+    Returns ``(a_idx, run_idx, bm_words, nsteps, num_checks)``.
+    """
+    from ..ops.tile_contact import N_BANDS
+    bits = _ray_tile_hits(rfields, tile_lo, tile_up)   # (RT, T) band bits
+    RT, T = bits.shape
+    G = rfields[0].shape[1]
+    NGT = -(-T // R)
+    if NGT * R - T:
+        bits = jnp.concatenate(
+            [bits, jnp.zeros((RT, NGT * R - T), jnp.int32)], axis=1)
+    wts = jnp.asarray([1 << (4 * j) for j in range(R)], jnp.int32)
+    words = (bits.reshape(RT, NGT, R) * wts[None, None, :]).sum(-1)
+    num_checks = jnp.sum(
+        jax.lax.population_count(words)) * (G // N_BANDS) * G
+
+    live = words != 0
+    h = live.astype(jnp.int32)
+    q = jnp.cumsum(h, axis=1) - h                  # within-row exclusive pos
+    cnt = q[:, -1] + h[:, -1]                      # (RT,)
+    gcnt = (cnt + W - 1) // W                      # groups per ray tile
+    goff = jnp.cumsum(gcnt) - gcnt
+    nsteps = gcnt.sum()
+
+    rt_idx = jax.lax.broadcasted_iota(jnp.int32, (RT, NGT), 0)
+    g_idx = jax.lax.broadcasted_iota(jnp.int32, (RT, NGT), 1)
+    step = goff[:, None] + q // W
+    dst = jnp.where(live, step * W + q % W, S_cap * W)
+    run_idx = jnp.full((S_cap * W,), pad_run, jnp.int32).at[
+        dst.reshape(-1)].set(g_idx.reshape(-1), mode="drop")
+    bm_words = jnp.zeros((S_cap * W,), jnp.int32).at[
+        dst.reshape(-1)].set(words.reshape(-1), mode="drop")
+    a_dst = jnp.where(live, step, S_cap)
+    a_idx = jnp.zeros((S_cap,), jnp.int32).at[
+        a_dst.reshape(-1)].set(rt_idx.reshape(-1), mode="drop")
+    return a_idx, run_idx, bm_words, nsteps, num_checks
+
+
 @partial(jax.jit, static_argnames=("W", "S_cap"))
 def _phase1_ray_tile_groups(rfields, tile_lo, tile_up, W: int, S_cap: int):
     """Grouped candidate extraction for the wide kernel: per ray tile, its
@@ -208,29 +258,9 @@ def traverse_rays_tiles_fixed(bvh: BVH, points, directions, capacity: int, *,
         # fully random rays (growth wrapper covers heavier scenes)
         pair_capacity = max(
             ((RT * RAY_CANDS_PER_RAY_TILE + 8191) // 8192) * 8192, 8192)
-    # each ray tile can leave one partially-filled W-group
-    from .tiles import _step_caps
-    S_cap, CHUNK = _step_caps(pair_capacity // W + RT)
-    a_idx, b_idx, nsteps = _phase1_ray_tile_groups(
-        rfields, tile_lo, tile_up, W, S_cap)
-    pair_overflow = nsteps > S_cap
-
-    slot_parts, cnt_parts = [], []
-    slot_overflow = jnp.zeros((), jnp.bool_)
-    for start in range(0, S_cap, CHUNK):
-        ns_c = jnp.clip(nsteps - start, 0, CHUNK)
-        slots_c, cnt_c, ov_c = tile_group_contacts(
-            a_idx[start:start + CHUNK],
-            b_idx[start * W:(start + CHUNK) * W],
-            ns_c.reshape(1).astype(jnp.int32), rfields, fields,
-            mask_kind="ray_sphere" if sphere else "ray_box", G=G, W=W,
-            ROW_CAP=alg.row_cap, CAP_PAIR=alg.pair_cap,
-            dedup=False, interpret=interpret)
-        slot_parts.append(slots_c)   # gi = ray, gj = leaf sorted positions
-        cnt_parts.append(cnt_c)
-        slot_overflow = slot_overflow | ov_c
-    slots = jnp.concatenate(slot_parts, axis=0)
-    counts = jnp.concatenate(cnt_parts, axis=0)
+    from .tiles import (_merge_streams, _regroup_emit_runs, _step_caps,
+                        _finish_contacts)
+    mask_kind = "ray_sphere" if sphere else "ray_box"
 
     # sorted ray position -> original 1-based ray index
     pad = RT * G - n_rays
@@ -249,6 +279,95 @@ def traverse_rays_tiles_fixed(bvh: BVH, points, directions, capacity: int, *,
             pp = tuple(rflat[k][gr] for k in range(3))
             dd = tuple(rflat[3 + k][gr] for k in range(3))
             return narrow(leaf, pp, dd)
+
+    use_two_phase = alg.pair_cap <= 128 and capacity % 1024 == 0
+    if use_two_phase:
+        # two-phase run-block path, mirroring tiles.traverse_tiles_fixed:
+        # run-block count kernel -> regroup of the hit-bearing pairs ->
+        # scalar-driven emit kernel streaming (ray, leaf) contacts dense
+        from ..ops.tile_contact import tile_group_emit, tile_run_counts
+        R = 8
+        S_cap, CHUNK = _step_caps(pair_capacity // W + RT)
+        if CHUNK > 1 << 13:
+            CHUNK = 1 << 13
+            S_cap = -(-S_cap // CHUNK) * CHUNK
+        pad_run = (-(-T // R) * R) // R
+        a_idx, run_idx, bm_grp, nsteps, num_checks = _phase1_ray_runs(
+            rfields, tile_lo, tile_up, W, S_cap, R, pad_run)
+        pair_overflow = nsteps > S_cap
+        cnt_parts = []
+        for start in range(0, S_cap, CHUNK):
+            ns_c = jnp.clip(nsteps - start, 0, CHUNK)
+
+            def run_chunk(start=start, ns_c=ns_c):
+                return tile_run_counts(
+                    a_idx[start:start + CHUNK],
+                    run_idx[start * W:(start + CHUNK) * W],
+                    bm_grp[start * W:(start + CHUNK) * W],
+                    ns_c.reshape(1).astype(jnp.int32), rfields, fields,
+                    mask_kind=mask_kind, G=G, W=W, R=R,
+                    dedup=False, interpret=interpret)
+
+            cnt_parts.append(jax.lax.cond(
+                ns_c > 0, run_chunk,
+                lambda: jnp.zeros((CHUNK * W * R,), jnp.int32)))
+        # barrier: see tiles.py — XLA otherwise re-reads the count
+        # kernel's reused output buffer in one of the two consumers
+        counts = jax.lax.optimization_barrier(jnp.concatenate(cnt_parts))
+        slot_overflow = jnp.any(counts > alg.pair_cap)
+
+        W2 = 4
+        S2_cap, CHUNK2 = _step_caps(RT + capacity // (8 * W2))
+        E2_cap = max(4096, capacity // 8)
+        a_idx2, b_idx2, nsteps2, over2 = _regroup_emit_runs(
+            a_idx, run_idx, bm_grp, counts, W2, S2_cap, E2_cap, T, R)
+        cap_overflow = (nsteps2 > S2_cap) | over2
+        parts = []
+        for start in range(0, S2_cap, CHUNK2):
+            ns_c = jnp.clip(nsteps2 - start, 0, CHUNK2)
+            gi_c, gj_c, tot_c, flags_c = tile_group_emit(
+                a_idx2[start:start + CHUNK2],
+                b_idx2[start * W2:(start + CHUNK2) * W2],
+                ns_c.reshape(1).astype(jnp.int32), rfields, fields,
+                mask_kind=mask_kind, G=G, W=W2,
+                ROW_CAP=alg.row_cap, CAP_PAIR=alg.pair_cap,
+                dedup=False, CAP=capacity, interpret=interpret)
+            parts.append((gi_c, gj_c, tot_c))
+            cap_overflow = cap_overflow | ((flags_c & 1) > 0)
+            slot_overflow = slot_overflow | ((flags_c & 2) > 0)
+        # gi = sorted ray positions, gj = sorted leaf positions; contact
+        # columns are (leaf user index, 1-based ray index)
+        gi_pos, gj_pos, total = _merge_streams(parts, capacity)
+        total, contacts = _finish_contacts(
+            gj_pos, gi_pos, total, bvh.leaves.index, narrow_fn, capacity,
+            leaf_index_b=iray_map, sort_pairs=False)
+        overflow = (jnp.where(pair_overflow | cap_overflow
+                              | (total > capacity), 1, 0)
+                    | jnp.where(slot_overflow, 2, 0))
+        return total, contacts, overflow, num_checks
+
+    # pair-granularity fallback (large slot caps from the growth loop)
+    S_cap, CHUNK = _step_caps(pair_capacity // W + RT)
+    a_idx, b_idx, nsteps = _phase1_ray_tile_groups(
+        rfields, tile_lo, tile_up, W, S_cap)
+    pair_overflow = nsteps > S_cap
+
+    slot_parts, cnt_parts = [], []
+    slot_overflow = jnp.zeros((), jnp.bool_)
+    for start in range(0, S_cap, CHUNK):
+        ns_c = jnp.clip(nsteps - start, 0, CHUNK)
+        slots_c, cnt_c, ov_c = tile_group_contacts(
+            a_idx[start:start + CHUNK],
+            b_idx[start * W:(start + CHUNK) * W],
+            ns_c.reshape(1).astype(jnp.int32), rfields, fields,
+            mask_kind=mask_kind, G=G, W=W,
+            ROW_CAP=alg.row_cap, CAP_PAIR=alg.pair_cap,
+            dedup=False, interpret=interpret)
+        slot_parts.append(slots_c)   # gi = ray, gj = leaf sorted positions
+        cnt_parts.append(cnt_c)
+        slot_overflow = slot_overflow | ov_c
+    slots = jnp.concatenate(slot_parts, axis=0)
+    counts = jnp.concatenate(cnt_parts, axis=0)
 
     # a-column = leaf user index (the kernel's gj section), b-column =
     # original ray index (the gi section) — hence swap_sections

@@ -297,73 +297,98 @@ def _leader_group(ti_flat, valid, payloads, pads, W: int, S_cap: int):
     return a_idx, grouped, nsteps
 
 
-@partial(jax.jit, static_argnames=("W", "S2_cap", "T_pad"))
-def _regroup_emit(a_idx, b_idx, counts, W: int, S2_cap: int, T_pad: int):
-    """Regroup the pairs with nonzero counts (kernel A's output) for the
-    emit kernel: same W-per-a-tile grouping as _group_pairs, but over the
-    already-sorted (a_idx, b_idx) slot layout, and with each pair's exact
-    contact count packed into its b entry (tj | band << 16 | cnt << 20) so
-    kernel B's control flow is fully scalar-prefetch-driven.
+@partial(jax.jit, static_argnames=("G", "P_cap", "W", "S_cap", "R",
+                                   "pad_run", "interpret"))
+def _phase1_tile_runs(tile_lo, tile_up, sub_lo, sub_up, G: int, P_cap: int,
+                      W: int, S_cap: int, R: int, pad_run: int,
+                      interpret: Optional[bool] = None):
+    """Phase 1 fused to *run* granularity for the run-block count kernel:
+    level-A supertile pairs -> subtile band bits -> per-run band words ->
+    sorted, W-grouped (a_idx, run_idx, bm_words) — the direct input of
+    ops/tile_contact.tile_run_counts.
 
-    Returns ``(a_idx2 (S2_cap,), b_idx2 (S2_cap * W2,), nsteps2)``.
+    Compared to `_phase1_tile_pairs` + `_group_runs` this skips the pair
+    list entirely: the (SP_cap, SS, SS) bit tensor is word-packed 8 tiles
+    -> one int32 per aligned run *in its native layout* (an exact int32
+    weighted lane-group sum — no 6.3M transpose), which shrinks the
+    compaction input 8x (790k at 1M, 66k live).  At that size plain XLA
+    cumsum+scatter compaction costs ~2 ms — the Pallas stream compactor
+    (measured ~18 ms on the 6.3M pair tensor, cost ~ cap x iterations) is
+    no longer needed here.
+
+    Returns ``(a_idx, run_idx, bm_grp, nsteps, num_checks, overflow)``.
     """
-    SW = b_idx.shape[0]
-    Win = SW // a_idx.shape[0]
-    valid = counts > 0
-    ti_flat = jnp.repeat(a_idx, Win)
-    payload = (b_idx & 0xFFFFF) | (jnp.minimum(counts, 255) << 20)
-    a_idx2, (b_idx2,), nsteps2 = _leader_group(
-        ti_flat, valid, (payload,), (T_pad,), W, S2_cap)
-    return a_idx2, b_idx2, nsteps2
+    from ..ops.subtile import N_BANDS as N_BANDS_TILES
+    if interpret is None:
+        interpret = _use_interpret()
+    assert R == 8 and G % N_BANDS_TILES == 0
+    T = tile_lo[0].shape[0]
+    SS = 32
+    S = -(-T // SS)
+    pad = S * SS - T
 
+    def padt(a, fill):
+        if pad:
+            a = jnp.concatenate([a, jnp.full((pad,), fill, a.dtype)])
+        return a
 
-@partial(jax.jit, static_argnames=("W", "S_cap", "R", "pad_run"))
-def _group_runs(packed, band, npairs, W: int, S_cap: int, R: int,
-                pad_run: int):
-    """Collapse the phase-1 pair list into aligned b-tile runs for the
-    run-block count kernel (ops/tile_contact.tile_run_counts): sorted
-    (ti, tj) pairs sharing (ti, tj >> log2(R)) merge into one run whose
-    int32 word carries 4 band bits per tile (OR-packed via disjoint-field
-    scatter-add — phase 1 emits unique pairs).  Runs then leader-group W
-    per a-tile exactly like _group_pairs.  At 1M, 190k pairs collapse to
-    66k R=8 runs: ~3x fewer b DMAs and grid steps for the count kernel.
+    tl = tuple(padt(c, jnp.inf) for c in tile_lo)
+    tu = tuple(padt(c, -jnp.inf) for c in tile_up)
+    sup_lo = tuple(c.reshape(S, SS).min(1) for c in tl)
+    sup_up = tuple(c.reshape(S, SS).max(1) for c in tu)
 
-    Returns ``(a_idx (S_cap,), run_idx (S_cap * W,), bm_words
-    (S_cap * W,), nsteps)``; pad run entries point at the NaN pad run
-    (block index ``pad_run``) with word 0.
-    """
-    P_cap = packed.shape[0]
-    lane = jnp.arange(P_cap, dtype=jnp.int32)
-    valid = lane < npairs
-    pk_u = jax.lax.bitcast_convert_type(
-        jnp.where(valid, packed, -1), jnp.uint32)
-    pk_s, band_s = jax.lax.sort((pk_u, band), num_keys=1)
-    pk = jax.lax.bitcast_convert_type(pk_s, jnp.int32)
-    ti = (pk >> 16) & 0xFFFF
-    tj = pk & 0xFFFF
-    log2R = R.bit_length() - 1
-    rk = (ti << (16 - log2R)) | (tj >> log2R)    # unique per run (< 2^29)
-    prev_rk = jnp.concatenate([jnp.full((1,), -1, jnp.int32), rk[:-1]])
-    is_rstart = (rk != prev_rk) & valid
-    rs = is_rstart.astype(jnp.int32)
-    rid_in = jnp.cumsum(rs)
-    rid = rid_in - 1                             # run id of every pair
-    nruns = rid_in[-1]
-    NR = S_cap * W
-    dst = jnp.where(valid, rid, NR)
-    # 4-bit fields are disjoint per (unique) pair, so add == OR; tile 7's
-    # band bit 3 lands in the sign bit — harmless, the kernel decodes with
-    # (word >> 4t) & 0xF
-    words = jnp.zeros((NR,), jnp.int32).at[dst].add(
-        band_s << (4 * (tj & (R - 1))), mode="drop")
-    rstart_dst = jnp.where(is_rstart, rid, NR)
-    ti_r = jnp.zeros((NR,), jnp.int32).at[rstart_dst].set(ti, mode="drop")
-    base_r = jnp.zeros((NR,), jnp.int32).at[rstart_dst].set(
-        tj >> log2R, mode="drop")
-    rvalid = jnp.arange(NR, dtype=jnp.int32) < nruns
+    # level A: supertile pairs (dense S x S, upper triangle)
+    ovA = _overlap(sup_lo, sup_up, sup_lo, sup_up)
+    ovA &= jax.lax.broadcasted_iota(jnp.int32, (S, S), 0) <= \
+        jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+    SP_cap = max(S * SUPERPAIRS_PER_SUPERTILE, 64, P_cap // 64)
+    SP_cap = -(-SP_cap // 16) * 16
+    kA = jnp.arange(S * S, dtype=jnp.int32)
+    spacked, nsp = _compact_flat(ovA.reshape(-1), kA, SP_cap)
+    overflow = nsp > SP_cap
+    si = spacked // S
+    sj = spacked % S
+
+    from ..ops.subtile import subtile_band_bits
+    bits = subtile_band_bits(
+        sub_lo, sub_up, tile_lo, tile_up, si, sj,
+        jnp.minimum(nsp, SP_cap).reshape(1).astype(jnp.int32),
+        Ta=T, Tb=T, triangle=True, interpret=interpret)[:, :, :SS]
+
+    # 8-tile run words: exact int32 weighted sum over lane groups (4-bit
+    # band nibbles are disjoint, values reach bit 31 — fine in int32)
+    NG = SS // R
+    wts = jnp.asarray([1 << (4 * j) for j in range(R)], jnp.int32)
+    words = (bits.reshape(SP_cap, SS, NG, R) * wts[None, None, None, :]
+             ).sum(-1)                               # (SP_cap, SS, NG)
+    num_checks = jnp.sum(
+        jax.lax.population_count(words)) * (G // N_BANDS_TILES) * G
+
+    # run key (unique: a (ti, tj) pair lives in exactly one superpair):
+    # ti(16b) << 13 | run(13b); run = tj >> 3 < 8192 for T < 2^16
+    i_io = jax.lax.broadcasted_iota(jnp.int32, (SP_cap, SS, NG), 1)
+    g_io = jax.lax.broadcasted_iota(jnp.int32, (SP_cap, SS, NG), 2)
+    ti_t = si[:, None, None] * SS + i_io
+    run_t = sj[:, None, None] * NG + g_io
+    key = (ti_t << 13) | run_t
+
+    live = (words != 0).reshape(-1)
+    run_cap = S_cap * W
+    key_c, nruns = _compact_flat(live, key.reshape(-1), run_cap, pad=-1)
+    word_c, _ = _compact_flat(live, words.reshape(-1), run_cap)
+    overflow |= nruns > run_cap
+
+    # sort to (ti, run) order; pad keys (-1) sort last as uint32
+    key_u = jax.lax.bitcast_convert_type(key_c, jnp.uint32)
+    key_s, word_s = jax.lax.sort((key_u, word_c), num_keys=1)
+    key_i = jax.lax.bitcast_convert_type(key_s, jnp.int32)
+    ti_r = (key_i >> 13) & 0xFFFF
+    run_r = key_i & 0x1FFF
+    rvalid = jnp.arange(run_cap, dtype=jnp.int32) < nruns
     a_idx, (run_idx, bm_grp), nsteps = _leader_group(
-        ti_r, rvalid, (base_r, words), (pad_run, 0), W, S_cap)
-    return a_idx, run_idx, bm_grp, nsteps
+        ti_r, rvalid, (run_r, word_s), (pad_run, 0), W, S_cap)
+    overflow |= nsteps > S_cap
+    return a_idx, run_idx, bm_grp, nsteps, num_checks, overflow
 
 
 @partial(jax.jit, static_argnames=("W2", "S2_cap", "E2_cap", "T_pad", "R"))
@@ -601,9 +626,6 @@ def traverse_tiles_fixed(bvh: BVH, capacity: int, *,
         raise ValueError("tile count exceeds 65536; raise the tile size")
     if pair_capacity is None:
         pair_capacity = _pair_capacity_for(T)
-    packed, band, npairs = _phase1_tile_pairs(
-        tile_lo, tile_up, sub_lo, sub_up, G, pair_capacity)
-    pair_overflow = npairs > pair_capacity
 
     W = 8
     narrow_fn = None
@@ -630,9 +652,10 @@ def traverse_tiles_fixed(bvh: BVH, capacity: int, *,
             CHUNK = 1 << 13
             S_cap = -(-S_cap // CHUNK) * CHUNK
         pad_run = (-(-T // R) * R) // R
-        a_idx, run_idx, bm_grp, nsteps = _group_runs(
-            packed, band, npairs, W, S_cap, R, pad_run)
-        pair_overflow |= nsteps > S_cap
+        a_idx, run_idx, bm_grp, nsteps, num_checks, pair_overflow = \
+            _phase1_tile_runs(tile_lo, tile_up, sub_lo, sub_up, G,
+                              pair_capacity, W, S_cap, R, pad_run,
+                              interpret=interpret)
         mask_kind = "sphere" if sphere else "box"
         cnt_parts = []
         for start in range(0, S_cap, CHUNK):
@@ -687,13 +710,12 @@ def traverse_tiles_fixed(bvh: BVH, capacity: int, *,
         overflow = (jnp.where(pair_overflow | cap_overflow
                               | (total > capacity), 1, 0)
                     | jnp.where(slot_overflow, 2, 0))
-        from ..ops.tile_contact import N_BANDS
-        lanep = jnp.arange(band.shape[0], dtype=jnp.int32)
-        num_checks = jnp.sum(
-            jnp.where(lanep < npairs, jax.lax.population_count(band), 0)
-        ) * (G // N_BANDS) * G
         return total, contacts, overflow, num_checks
 
+    # pair-granularity fallback path (large slot caps from the growth loop)
+    packed, band, npairs = _phase1_tile_pairs(
+        tile_lo, tile_up, sub_lo, sub_up, G, pair_capacity)
+    pair_overflow = npairs > pair_capacity
     # regroup by shared a-tile for the grouped wide kernel
     S_cap, CHUNK = _step_caps(pair_capacity // W + T)
     a_idx, b_idx, nsteps = _group_pairs(packed, band, npairs, W, S_cap, T)
