@@ -60,7 +60,21 @@ class BVHOptions:
 
     @property
     def index_dtype(self):
-        return jnp.int32 if self.index_bits == 32 else jnp.int64
+        if self.index_bits == 64:
+            # Without the x64 flag JAX silently narrows int64 arrays to
+            # int32 — a user asking for 64-bit indices on > 2^31-pair
+            # workloads would get wraparound, so fail loudly instead
+            # (ref parity: index_exemplar selects Int32/Int64 eagerly,
+            # ref src/utils.jl:34-42).
+            import jax
+            if not jax.config.jax_enable_x64:
+                raise ValueError(
+                    "BVHOptions(index_bits=64) requires jax_enable_x64; "
+                    "set JAX_ENABLE_X64=1 or "
+                    "jax.config.update('jax_enable_x64', True) — without "
+                    "it JAX silently narrows indices to int32")
+            return jnp.int64
+        return jnp.int32
 
 
 DEFAULT_OPTIONS = BVHOptions()

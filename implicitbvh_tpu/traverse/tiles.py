@@ -879,6 +879,92 @@ def _phase1_cross_pairs(tlo1, tup1, asub_lo, asub_up, tlo2, tup2,
     return packed, band, npairs
 
 
+@partial(jax.jit, static_argnames=("G", "P_cap", "W", "S_cap", "R",
+                                   "pad_run", "interpret"))
+def _phase1_cross_runs(tlo1, tup1, asub_lo, asub_up, tlo2, tup2, G: int,
+                       P_cap: int, W: int, S_cap: int, R: int,
+                       pad_run: int, interpret: Optional[bool] = None):
+    """Cross-BVH counterpart of :func:`_phase1_tile_runs`: overlapping
+    (tile-of-bvh1, aligned run-of-bvh2-tiles) with per-tile band words,
+    W-grouped for the run-block count kernel.  Full S1 x S2 grid, no
+    triangle/dedup — the reference's pair-traversal semantics
+    (ref traverse_pair_cpu.jl:615-645).
+
+    Returns ``(a_idx, run_idx, bm_grp, nsteps, num_checks, overflow)``.
+    """
+    from ..ops.subtile import N_BANDS as N_BANDS_TILES
+    if interpret is None:
+        interpret = _use_interpret()
+    assert R == 8
+    T1 = tlo1[0].shape[0]
+    T2 = tlo2[0].shape[0]
+    SS = 32
+
+    def prep(tl, tu):
+        T = tl[0].shape[0]
+        S = -(-T // SS)
+        pad = S * SS - T
+
+        def padt(a, fill):
+            if pad:
+                a = jnp.concatenate([a, jnp.full((pad,), fill, a.dtype)])
+            return a
+        tl = tuple(padt(c, jnp.inf) for c in tl)
+        tu = tuple(padt(c, -jnp.inf) for c in tu)
+        slo = tuple(c.reshape(S, SS).min(1) for c in tl)
+        sup = tuple(c.reshape(S, SS).max(1) for c in tu)
+        return slo, sup, S
+
+    slo1, sup1, S1 = prep(tlo1, tup1)
+    slo2, sup2, S2 = prep(tlo2, tup2)
+
+    ovA = _overlap(slo1, sup1, slo2, sup2)
+    SP_cap = max(S1 * SUPERPAIRS_PER_SUPERTILE,
+                 S2 * SUPERPAIRS_PER_SUPERTILE, 64, P_cap // 64)
+    SP_cap = -(-SP_cap // 16) * 16
+    kA = jnp.arange(S1 * S2, dtype=jnp.int32)
+    spacked, nsp = _compact_flat(ovA.reshape(-1), kA, SP_cap)
+    overflow = nsp > SP_cap
+    si = spacked // S2
+    sj = spacked % S2
+
+    from ..ops.subtile import subtile_band_bits
+    bits = subtile_band_bits(
+        asub_lo, asub_up, tlo2, tup2, si, sj,
+        jnp.minimum(nsp, SP_cap).reshape(1).astype(jnp.int32),
+        Ta=T1, Tb=T2, triangle=False, interpret=interpret)[:, :, :SS]
+
+    NG = SS // R
+    wts = jnp.asarray([1 << (4 * j) for j in range(R)], jnp.int32)
+    words = (bits.reshape(SP_cap, SS, NG, R) * wts[None, None, None, :]
+             ).sum(-1)
+    num_checks = jnp.sum(
+        jax.lax.population_count(words)) * (G // N_BANDS_TILES) * G
+
+    i_io = jax.lax.broadcasted_iota(jnp.int32, (SP_cap, SS, NG), 1)
+    g_io = jax.lax.broadcasted_iota(jnp.int32, (SP_cap, SS, NG), 2)
+    ti_t = si[:, None, None] * SS + i_io
+    run_t = sj[:, None, None] * NG + g_io
+    key = (ti_t << 13) | run_t
+
+    live = (words != 0).reshape(-1)
+    run_cap = S_cap * W
+    key_c, nruns = _compact_flat(live, key.reshape(-1), run_cap, pad=-1)
+    word_c, _ = _compact_flat(live, words.reshape(-1), run_cap)
+    overflow |= nruns > run_cap
+
+    key_u = jax.lax.bitcast_convert_type(key_c, jnp.uint32)
+    key_s, word_s = jax.lax.sort((key_u, word_c), num_keys=1)
+    key_i = jax.lax.bitcast_convert_type(key_s, jnp.int32)
+    ti_r = (key_i >> 13) & 0xFFFF
+    run_r = key_i & 0x1FFF
+    rvalid = jnp.arange(run_cap, dtype=jnp.int32) < nruns
+    a_idx, (run_idx, bm_grp), nsteps = _leader_group(
+        ti_r, rvalid, (run_r, word_s), (pad_run, 0), W, S_cap)
+    overflow |= nsteps > S_cap
+    return a_idx, run_idx, bm_grp, nsteps, num_checks, overflow
+
+
 @partial(jax.jit, static_argnames=("capacity", "alg", "pair_capacity",
                                    "narrow", "interpret"))
 def traverse_tiles_pair_fixed(bvh1: BVH, bvh2: BVH, capacity: int, *,
@@ -910,13 +996,87 @@ def traverse_tiles_pair_fixed(bvh1: BVH, bvh2: BVH, capacity: int, *,
         raise ValueError("tile count exceeds 65536; raise the tile size")
     if pair_capacity is None:
         pair_capacity = _pair_capacity_for((T1 + T2) // 2)
+    W = 8
+    mask_kind = "sphere" if sphere else "box"
+
+    narrow_fn = None
+    if narrow is not None:
+        l1, l2 = bvh1.leaves, bvh2.leaves
+
+        def narrow_fn(gi, gj):
+            la = jax.tree_util.tree_map(lambda x: x[gi], l1)
+            lb = jax.tree_util.tree_map(lambda x: x[gj], l2)
+            return narrow(la, lb)
+
+    use_two_phase = alg.pair_cap <= 128 and capacity % 1024 == 0
+    if use_two_phase:
+        # two-phase run-block path, mirroring the self-contact branch
+        from ..ops.tile_contact import tile_group_emit, tile_run_counts
+        R = 8
+        S_cap, CHUNK = _step_caps(pair_capacity // W + T1)
+        if CHUNK > 1 << 13:
+            CHUNK = 1 << 13
+            S_cap = -(-S_cap // CHUNK) * CHUNK
+        pad_run = (-(-T2 // R) * R) // R
+        a_idx, run_idx, bm_grp, nsteps, num_checks, pair_overflow = \
+            _phase1_cross_runs(tlo1, tup1, asub_lo, asub_up, tlo2, tup2,
+                               G, pair_capacity, W, S_cap, R, pad_run,
+                               interpret=interpret)
+        cnt_parts = []
+        for start in range(0, S_cap, CHUNK):
+            ns_c = jnp.clip(nsteps - start, 0, CHUNK)
+
+            def run_chunk(start=start, ns_c=ns_c):
+                return tile_run_counts(
+                    a_idx[start:start + CHUNK],
+                    run_idx[start * W:(start + CHUNK) * W],
+                    bm_grp[start * W:(start + CHUNK) * W],
+                    ns_c.reshape(1).astype(jnp.int32), f1, f2,
+                    mask_kind=mask_kind, G=G, W=W, R=R,
+                    dedup=False, interpret=interpret)
+
+            cnt_parts.append(jax.lax.cond(
+                ns_c > 0, run_chunk,
+                lambda: jnp.zeros((CHUNK * W * R,), jnp.int32)))
+        # barrier: see the self-contact branch — load-bearing
+        counts = jax.lax.optimization_barrier(jnp.concatenate(cnt_parts))
+        slot_overflow = jnp.any(counts > alg.pair_cap)
+
+        W2 = 4
+        S2_cap, CHUNK2 = _step_caps(T1 + capacity // (8 * W2))
+        E2_cap = max(4096, capacity // 8)
+        a_idx2, b_idx2, nsteps2, over2 = _regroup_emit_runs(
+            a_idx, run_idx, bm_grp, counts, W2, S2_cap, E2_cap, T2, R)
+        cap_overflow = (nsteps2 > S2_cap) | over2
+        parts = []
+        for start in range(0, S2_cap, CHUNK2):
+            ns_c = jnp.clip(nsteps2 - start, 0, CHUNK2)
+            gi_c, gj_c, tot_c, flags_c = tile_group_emit(
+                a_idx2[start:start + CHUNK2],
+                b_idx2[start * W2:(start + CHUNK2) * W2],
+                ns_c.reshape(1).astype(jnp.int32), f1, f2,
+                mask_kind=mask_kind, G=G, W=W2,
+                ROW_CAP=alg.row_cap, CAP_PAIR=alg.pair_cap,
+                dedup=False, CAP=capacity, interpret=interpret)
+            parts.append((gi_c, gj_c, tot_c))
+            cap_overflow = cap_overflow | ((flags_c & 1) > 0)
+            slot_overflow = slot_overflow | ((flags_c & 2) > 0)
+        gi_pos, gj_pos, total = _merge_streams(parts, capacity)
+        total, contacts = _finish_contacts(
+            gi_pos, gj_pos, total, bvh1.leaves.index, narrow_fn, capacity,
+            leaf_index_b=bvh2.leaves.index, sort_pairs=False)
+        overflow = (jnp.where(pair_overflow | cap_overflow
+                              | (total > capacity), 1, 0)
+                    | jnp.where(slot_overflow, 2, 0))
+        return total, contacts, overflow, num_checks
+
+    # pair-granularity fallback (large slot caps from the growth loop)
     packed, band, npairs = _phase1_cross_pairs(
         tlo1, tup1, asub_lo, asub_up, tlo2, tup2, G, pair_capacity)
     pair_overflow = npairs > pair_capacity
 
     # regroup by shared bvh1 tile for the grouped wide kernel, exactly as
     # the self-contact path (shared a-tile DMA + banded mask skipping)
-    W = 8
     S_cap, CHUNK = _step_caps(pair_capacity // W + T1)
     a_idx, b_idx, nsteps = _group_pairs(packed, band, npairs, W, S_cap, T2)
     pair_overflow |= nsteps > S_cap
@@ -937,15 +1097,6 @@ def traverse_tiles_pair_fixed(bvh1: BVH, bvh2: BVH, capacity: int, *,
         slot_overflow = slot_overflow | ov_c
     slots = jnp.concatenate(slot_parts, axis=0)
     counts = jnp.concatenate(cnt_parts, axis=0)
-
-    narrow_fn = None
-    if narrow is not None:
-        l1, l2 = bvh1.leaves, bvh2.leaves
-
-        def narrow_fn(gi, gj):
-            la = jax.tree_util.tree_map(lambda x: x[gi], l1)
-            lb = jax.tree_util.tree_map(lambda x: x[gj], l2)
-            return narrow(la, lb)
 
     total, contacts = _extract_contacts(
         slots, counts, bvh1.leaves.index, narrow_fn, capacity,

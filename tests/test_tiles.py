@@ -143,6 +143,37 @@ def test_tiles_pair_differential():
     assert sorted(t.contacts_list()) == sorted(t_lvt.contacts_list())
 
 
+def test_tiles_pair_two_phase_path():
+    """The two-phase run path for two-BVH traversal (count kernel -> emit
+    stream; engages when capacity % 1024 == 0 and pair_cap <= 128) must
+    match brute force exactly, including the narrow filter."""
+    from implicitbvh_tpu.traverse.tiles import traverse_tiles_pair_fixed
+    xs1, rs1, sp1 = spheres(150, 41)
+    xs2, rs2, sp2 = spheres(90, 42)
+    d2 = ((xs1[:, None, :] - xs2[None, :, :]) ** 2).sum(-1)
+    rr = (rs1[:, None] + rs2[None, :]) ** 2
+    bf = {(i + 1, j + 1) for i in range(150) for j in range(90)
+          if d2[i, j] <= rr[i, j]}
+    b1 = ib.build(sp1, ib.BBox)
+    b2 = ib.build(sp2, ib.BBox)
+    alg = TileTraversal(tile=32, row_cap=16, pair_cap=128)
+    total, contacts, ov, _nc = traverse_tiles_pair_fixed(b1, b2, 1024,
+                                                         alg=alg)
+    assert int(ov) == 0
+    got = {tuple(map(int, r)) for r in np.asarray(contacts)[:int(total)]}
+    assert got == bf
+
+    def narrow(l1, l2):
+        return (l1.index + l2.index) % 2 == 0
+
+    bf_n = {(i, j) for (i, j) in bf if (i + j) % 2 == 0}
+    total2, contacts2, ov2, _ = traverse_tiles_pair_fixed(
+        b1, b2, 1024, alg=alg, narrow=narrow)
+    assert int(ov2) == 0
+    got2 = {tuple(map(int, r)) for r in np.asarray(contacts2)[:int(total2)]}
+    assert got2 == bf_n
+
+
 def test_tiles_pair_narrow():
     xs1, rs1, sp1 = spheres(60, 33)
     xs2, rs2, sp2 = spheres(70, 34)
