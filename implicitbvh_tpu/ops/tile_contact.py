@@ -476,8 +476,7 @@ def _stream_flush(stage_gi, stage_gj, gi_hbm, gj_hbm, sems, cur_ref,
 
 
 def _run_count_kernel(mask_kind: str, G: int, W: int, R: int, dedup: bool,
-                      ai_ref, bi_ref, bm_ref, nsteps_ref,   # scalar prefetch
-                      *refs):
+                      *prefetch_and_refs):
     """Count kernel over aligned b-tile *runs*: one (R, 8, G) DMA covers R
     consecutive b tiles.
 
@@ -493,7 +492,16 @@ def _run_count_kernel(mask_kind: str, G: int, W: int, R: int, dedup: bool,
     Output: (1, W * R, 128) f32 rows of per-tile *lane-partial* counts
     (sum over mask sublanes only) — the XLA caller reduces lanes, so the
     kernel has no cross-lane reduction and no vector->scalar syncs at all.
+
+    Band bits arrive as ``R // 8`` prefetched word arrays (4 bits per
+    tile, 8 tiles per word), so R = 16 runs carry a (lo, hi) word pair.
     """
+    NW = R // 8
+    ai_ref = prefetch_and_refs[0]
+    bi_ref = prefetch_and_refs[1]
+    bm_refs = prefetch_and_refs[2:2 + NW]
+    nsteps_ref = prefetch_and_refs[2 + NW]
+    refs = prefetch_and_refs[3 + NW:]
     aref = refs[0]
     brefs = refs[1:1 + W]
     out = refs[1 + W]          # (1, W * R, 128) f32 lane-partial counts
@@ -510,13 +518,16 @@ def _run_count_kernel(mask_kind: str, G: int, W: int, R: int, dedup: bool,
         cols = _acols(mask_kind, a_blk)
         ti = ai_ref[s]
         for w in range(W):
-            word = bm_ref[s * W + w]
+            words = [bm_refs[q][s * W + w] for q in range(NW)]
             base = bi_ref[s * W + w] & 0xFFFF      # aligned run index
+            any_live = words[0]
+            for q in range(1, NW):
+                any_live = any_live | words[q]
 
-            @pl.when(word != 0)
-            def _(w=w, word=word, base=base):
+            @pl.when(any_live != 0)
+            def _(w=w, words=words, base=base):
                 for t in range(R):
-                    bm_t = (word >> (4 * t)) & 0xF
+                    bm_t = (words[t // 8] >> (4 * (t % 8))) & 0xF
 
                     @pl.when(bm_t != 0)
                     def _(t=t, bm_t=bm_t, w=w, base=base):
@@ -552,8 +563,9 @@ def tile_run_counts(a_idx, b_idx, bm_words, nsteps, a_fields,
     - ``a_idx``: (S_cap,) int32 a-tile index per step.
     - ``b_idx``: (S_cap * W,) int32 aligned run indices (tj >> log2(R)) in
       the low 16 bits; pad entries point at the NaN pad run.
-    - ``bm_words``: (S_cap * W,) int32 per-run words with 4 band bits per
-      tile (tile t of the run at bits [4t, 4t+4)); pad entries carry 0.
+    - ``bm_words``: tuple of ``R // 8`` (S_cap * W,) int32 per-run word
+      arrays, 4 band bits per tile 8 tiles per word (tile t's bits at
+      word ``t // 8``, bits [4(t%8), 4(t%8)+4)); pad entries carry 0.
 
     Returns ``counts`` (S_cap * W * R,) int32: exact contact counts of
     every (step, w, t) tile pair (zero for dead tiles/pads).
@@ -564,7 +576,11 @@ def tile_run_counts(a_idx, b_idx, bm_words, nsteps, a_fields,
     Fa, Fb = MASK_FIELD_COUNTS[mask_kind]
     assert len(a_fields) == Fa and len(b_fields) == Fb, \
         (mask_kind, len(a_fields), len(b_fields))
-    assert R * 4 <= 32
+    assert R % 8 == 0
+    NW = R // 8
+    if not isinstance(bm_words, (tuple, list)):
+        bm_words = (bm_words,)
+    assert len(bm_words) == NW, (len(bm_words), NW)
 
     def pack_a(fields):
         T = fields[0].shape[0]
@@ -594,15 +610,15 @@ def tile_run_counts(a_idx, b_idx, bm_words, nsteps, a_fields,
     b_packed = pack_b(b_fields)
 
     a_spec = pl.BlockSpec(
-        (1, 8, G), lambda s, ai, bi, bm, ns: (ai[s], 0, 0))
+        (1, 8, G), lambda s, ai, bi, *rest: (ai[s], 0, 0))
 
     def b_spec(w):
         return pl.BlockSpec(
             (R, 8, G),
-            lambda s, ai, bi, bm, ns, w=w: (bi[s * W + w] & 0xFFFF, 0, 0))
+            lambda s, ai, bi, *rest, w=w: (bi[s * W + w] & 0xFFFF, 0, 0))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=3 + NW,
         grid=(S_cap,),
         in_specs=[a_spec] + [b_spec(w) for w in range(W)],
         out_specs=[
@@ -620,7 +636,7 @@ def tile_run_counts(a_idx, b_idx, bm_words, nsteps, a_fields,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(a_idx, b_idx, bm_words, nsteps, a_packed, *([b_packed] * W))
+    )(a_idx, b_idx, *bm_words, nsteps, a_packed, *([b_packed] * W))
     # lane reduction in XLA (exact: counts <= G*G < 2^24 in f32)
     return out.sum(axis=2).astype(jnp.int32).reshape(S_cap * W * R)
 
@@ -745,20 +761,22 @@ def _pair_compact_vrows(G, ROW_CAP, CAP_PAIR, ti, mi, gj):
     sub = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
     f32 = jnp.float32
     ltri_strict = jnp.where(sub > lane, 1.0, 0.0)
+    # The three prefix/count matmuls carry only values < 256 (row counts
+    # <= G = 128; offsets <= CAP_PAIR on every non-flagged pair), which
+    # bf16's 8-bit mantissa represents exactly — DEFAULT precision (one
+    # MXU pass) suffices.  The payload contractions further down carry
+    # global positions up to 2^23 and keep HIGHEST (6-pass f32-exact).
     row_pos = jax.lax.dot_general(
         mi, ltri_strict, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=f32,
-        precision=jax.lax.Precision.HIGHEST)
+        preferred_element_type=f32)
     ones_row = jnp.ones((1, G), f32)
     row_cnt_lane = jax.lax.dot_general(
         ones_row, mi, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=f32,
-        precision=jax.lax.Precision.HIGHEST)
+        preferred_element_type=f32)
     row_off_lane = jax.lax.dot_general(
         row_cnt_lane, ltri_strict,
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=f32,
-        precision=jax.lax.Precision.HIGHEST)
+        preferred_element_type=f32)
     s_row = jax.lax.broadcasted_iota(jnp.int32, (ROW_CAP, G, G), 0
                                      ).astype(f32)
     onehot_row = jnp.where(

@@ -157,16 +157,18 @@ def _phase1_ray_runs(rfields, tile_lo, tile_up, W: int, S_cap: int,
     bits = _ray_tile_hits(rfields, tile_lo, tile_up)   # (RT, T) band bits
     RT, T = bits.shape
     G = rfields[0].shape[1]
+    NW = R // 8
     NGT = -(-T // R)
     if NGT * R - T:
         bits = jnp.concatenate(
             [bits, jnp.zeros((RT, NGT * R - T), jnp.int32)], axis=1)
-    wts = jnp.asarray([1 << (4 * j) for j in range(R)], jnp.int32)
-    words = (bits.reshape(RT, NGT, R) * wts[None, None, :]).sum(-1)
+    wts = jnp.asarray([1 << (4 * j) for j in range(8)], jnp.int32)
+    words = (bits.reshape(RT, NGT, NW, 8) *
+             wts[None, None, None, :]).sum(-1)       # (RT, NGT, NW)
     num_checks = jnp.sum(
         jax.lax.population_count(words)) * (G // N_BANDS) * G
 
-    live = words != 0
+    live = (words != 0).any(-1)
     h = live.astype(jnp.int32)
     q = jnp.cumsum(h, axis=1) - h                  # within-row exclusive pos
     cnt = q[:, -1] + h[:, -1]                      # (RT,)
@@ -180,8 +182,10 @@ def _phase1_ray_runs(rfields, tile_lo, tile_up, W: int, S_cap: int,
     dst = jnp.where(live, step * W + q % W, S_cap * W)
     run_idx = jnp.full((S_cap * W,), pad_run, jnp.int32).at[
         dst.reshape(-1)].set(g_idx.reshape(-1), mode="drop")
-    bm_words = jnp.zeros((S_cap * W,), jnp.int32).at[
-        dst.reshape(-1)].set(words.reshape(-1), mode="drop")
+    bm_words = tuple(
+        jnp.zeros((S_cap * W,), jnp.int32).at[
+            dst.reshape(-1)].set(words[..., qw].reshape(-1), mode="drop")
+        for qw in range(NW))
     a_dst = jnp.where(live, step, S_cap)
     a_idx = jnp.zeros((S_cap,), jnp.int32).at[
         a_dst.reshape(-1)].set(rt_idx.reshape(-1), mode="drop")
@@ -286,7 +290,7 @@ def traverse_rays_tiles_fixed(bvh: BVH, points, directions, capacity: int, *,
         # run-block count kernel -> regroup of the hit-bearing pairs ->
         # scalar-driven emit kernel streaming (ray, leaf) contacts dense
         from ..ops.tile_contact import tile_group_emit, tile_run_counts
-        R = 8
+        R = alg.run_r
         S_cap, CHUNK = _step_caps(pair_capacity // W + RT)
         if CHUNK > 1 << 13:
             CHUNK = 1 << 13
@@ -303,7 +307,8 @@ def traverse_rays_tiles_fixed(bvh: BVH, points, directions, capacity: int, *,
                 return tile_run_counts(
                     a_idx[start:start + CHUNK],
                     run_idx[start * W:(start + CHUNK) * W],
-                    bm_grp[start * W:(start + CHUNK) * W],
+                    tuple(w[start * W:(start + CHUNK) * W]
+                          for w in bm_grp),
                     ns_c.reshape(1).astype(jnp.int32), rfields, fields,
                     mask_kind=mask_kind, G=G, W=W, R=R,
                     dedup=False, interpret=interpret)

@@ -44,12 +44,16 @@ class TileTraversal(TraversalAlgorithm):
     - ``tile``: leaves per tile (G); 128 matches the VPU lane width.
     - ``row_cap``: max contacts of one leaf within one other tile.
     - ``pair_cap``: max contacts within one tile pair.
+    - ``run_r``: aligned b-tile run length for the two-phase count kernel
+      (8 or 16; 16 halves the b-DMA count at ~28%% more fetched-but-dead
+      tiles on 1M scenes).
     Overflows are detected and the host wrapper re-runs with doubled caps.
     """
 
     tile: int = 128
     row_cap: int = 4
     pair_cap: int = 32   # 16 overflows on 1M unit-density scenes (measured)
+    run_r: int = 8
 
 
 # Capacity heuristics, derived from densities measured on unit-density
@@ -91,7 +95,8 @@ def _grow_alg(alg: "TileTraversal") -> "TileTraversal":
     """4x slot-cap growth under the VMEM ceilings."""
     return TileTraversal(tile=alg.tile,
                          row_cap=min(4 * alg.row_cap, MAX_ROW_CAP),
-                         pair_cap=min(4 * alg.pair_cap, MAX_PAIR_CAP))
+                         pair_cap=min(4 * alg.pair_cap, MAX_PAIR_CAP),
+                         run_r=alg.run_r)
 
 
 def _use_interpret() -> bool:
@@ -105,7 +110,8 @@ def _merge_cached_alg(alg: "TileTraversal", cache) -> "TileTraversal":
     if isinstance(prev, TileTraversal) and prev.tile == alg.tile:
         return TileTraversal(tile=alg.tile,
                              row_cap=max(alg.row_cap, prev.row_cap),
-                             pair_cap=max(alg.pair_cap, prev.pair_cap))
+                             pair_cap=max(alg.pair_cap, prev.pair_cap),
+                             run_r=alg.run_r)
     return alg
 
 
@@ -321,7 +327,7 @@ def _phase1_tile_runs(tile_lo, tile_up, sub_lo, sub_up, G: int, P_cap: int,
     from ..ops.subtile import N_BANDS as N_BANDS_TILES
     if interpret is None:
         interpret = _use_interpret()
-    assert R == 8 and G % N_BANDS_TILES == 0
+    assert R in (8, 16) and G % N_BANDS_TILES == 0
     T = tile_lo[0].shape[0]
     SS = 32
     S = -(-T // SS)
@@ -355,38 +361,65 @@ def _phase1_tile_runs(tile_lo, tile_up, sub_lo, sub_up, G: int, P_cap: int,
         jnp.minimum(nsp, SP_cap).reshape(1).astype(jnp.int32),
         Ta=T, Tb=T, triangle=True, interpret=interpret)[:, :, :SS]
 
-    # 8-tile run words: exact int32 weighted sum over lane groups (4-bit
-    # band nibbles are disjoint, values reach bit 31 — fine in int32)
+    a_idx, run_idx, bm_grp, nsteps, num_checks, ov2 = _runs_from_bits(
+        bits, si, sj, SS, G, W, S_cap, R, pad_run)
+    return a_idx, run_idx, bm_grp, nsteps, num_checks, overflow | ov2
+
+
+def _runs_from_bits(bits, si, sj, SS: int, G: int, W: int, S_cap: int,
+                    R: int, pad_run: int):
+    """Shared phase-1 tail: (SP_cap, SS, SS) band bits -> sorted,
+    W-grouped aligned-run lists for the run-block count kernel.
+
+    Per-run band bits pack 8 tiles per int32 word (``R // 8`` word arrays
+    — one for R = 8, a (lo, hi) pair for R = 16) via exact int32 weighted
+    lane-group sums in the bits' native layout (no transpose); at this
+    size (SP_cap * SS * SS / R elements) plain XLA cumsum+scatter
+    compaction beats the Pallas stream compactor.
+
+    Returns ``(a_idx, run_idx, bm_grp tuple, nsteps, num_checks,
+    overflow)``.
+    """
+    from ..ops.subtile import N_BANDS as N_BANDS_TILES
+    SP_cap = bits.shape[0]
     NG = SS // R
-    wts = jnp.asarray([1 << (4 * j) for j in range(R)], jnp.int32)
-    words = (bits.reshape(SP_cap, SS, NG, R) * wts[None, None, None, :]
-             ).sum(-1)                               # (SP_cap, SS, NG)
+    NW = R // 8
+    wts = jnp.asarray([1 << (4 * j) for j in range(8)], jnp.int32)
+    # (SP_cap, SS, NG, NW): word q of run g covers tiles [8q, 8q+8)
+    words = (bits.reshape(SP_cap, SS, NG, NW, 8) *
+             wts[None, None, None, None, :]).sum(-1)
     num_checks = jnp.sum(
         jax.lax.population_count(words)) * (G // N_BANDS_TILES) * G
 
     # run key (unique: a (ti, tj) pair lives in exactly one superpair):
-    # ti(16b) << 13 | run(13b); run = tj >> 3 < 8192 for T < 2^16
+    # ti(16b) << 13 | run; run = tj >> log2(R) < 8192 for T < 2^16
     i_io = jax.lax.broadcasted_iota(jnp.int32, (SP_cap, SS, NG), 1)
     g_io = jax.lax.broadcasted_iota(jnp.int32, (SP_cap, SS, NG), 2)
     ti_t = si[:, None, None] * SS + i_io
     run_t = sj[:, None, None] * NG + g_io
     key = (ti_t << 13) | run_t
 
-    live = (words != 0).reshape(-1)
+    wflat = [words[..., q].reshape(-1) for q in range(NW)]
+    live = wflat[0] != 0
+    for q in range(1, NW):
+        live = live | (wflat[q] != 0)
     run_cap = S_cap * W
     key_c, nruns = _compact_flat(live, key.reshape(-1), run_cap, pad=-1)
-    word_c, _ = _compact_flat(live, words.reshape(-1), run_cap)
-    overflow |= nruns > run_cap
+    words_c = [_compact_flat(live, wq, run_cap)[0] for wq in wflat]
+    overflow = nruns > run_cap
 
     # sort to (ti, run) order; pad keys (-1) sort last as uint32
     key_u = jax.lax.bitcast_convert_type(key_c, jnp.uint32)
-    key_s, word_s = jax.lax.sort((key_u, word_c), num_keys=1)
-    key_i = jax.lax.bitcast_convert_type(key_s, jnp.int32)
+    sorted_ops = jax.lax.sort((key_u, *words_c), num_keys=1)
+    key_i = jax.lax.bitcast_convert_type(sorted_ops[0], jnp.int32)
+    words_s = sorted_ops[1:]
     ti_r = (key_i >> 13) & 0xFFFF
     run_r = key_i & 0x1FFF
     rvalid = jnp.arange(run_cap, dtype=jnp.int32) < nruns
-    a_idx, (run_idx, bm_grp), nsteps = _leader_group(
-        ti_r, rvalid, (run_r, word_s), (pad_run, 0), W, S_cap)
+    a_idx, grouped, nsteps = _leader_group(
+        ti_r, rvalid, (run_r, *words_s), (pad_run,) + (0,) * NW, W, S_cap)
+    run_idx = grouped[0]
+    bm_grp = tuple(grouped[1:])
     overflow |= nsteps > S_cap
     return a_idx, run_idx, bm_grp, nsteps, num_checks, overflow
 
@@ -412,6 +445,8 @@ def _regroup_emit_runs(a_idx, run_idx, bm_words, counts, W2: int,
     """
     SW = run_idx.shape[0]
     Win = SW // a_idx.shape[0]
+    if not isinstance(bm_words, (tuple, list)):
+        bm_words = (bm_words,)
     rc = counts.reshape(SW, R)
     run_live = rc.max(axis=1) > 0
     e_slots, nlive = _compact_flat(
@@ -420,13 +455,18 @@ def _regroup_emit_runs(a_idx, run_idx, bm_words, counts, W2: int,
     # gather the live runs' metadata (order-preserving, so ti stays sorted)
     ti_r = a_idx[jnp.minimum(e_slots // Win, a_idx.shape[0] - 1)]
     base_r = run_idx[e_slots] & 0xFFFF
-    words_r = bm_words[e_slots]
+    words_r = [w[e_slots] for w in bm_words]
     cnt_r = rc[e_slots]                          # (E2_cap, R)
     # expand R-wide
     E = E2_cap * R
     ti_flat = jnp.repeat(ti_r, R)
     t = jnp.arange(E, dtype=jnp.int32) % R
-    band4 = (jnp.repeat(words_r, R) >> (4 * t)) & 0xF
+    if len(words_r) == 1:
+        wsel = jnp.repeat(words_r[0], R)
+    else:
+        wsel = jnp.where(t < 8, jnp.repeat(words_r[0], R),
+                         jnp.repeat(words_r[1], R))
+    band4 = (wsel >> (4 * (t % 8))) & 0xF
     tj = jnp.repeat(base_r, R) * R + t
     cnt = cnt_r.reshape(E)
     el = jnp.arange(E, dtype=jnp.int32)
@@ -644,8 +684,8 @@ def traverse_tiles_fixed(bvh: BVH, capacity: int, *,
         # pairs with contacts -> emit kernel whose control flow (skip /
         # append length / flush cursor) is entirely scalar-prefetch-driven,
         # streaming contacts dense to HBM
-        R = 8
-        # half-size chunks: the run path prefetches TWO (CHUNK * W,) int32
+        R = alg.run_r
+        # half-size chunks: the run path prefetches 2-3 (CHUNK * W,) int32
         # arrays (run indices + band words) and SMEM holds 1 MB total
         S_cap, CHUNK = _step_caps(pair_capacity // W + T)
         if CHUNK > 1 << 13:
@@ -665,7 +705,8 @@ def traverse_tiles_fixed(bvh: BVH, capacity: int, *,
                 return tile_run_counts(
                     a_idx[start:start + CHUNK],
                     run_idx[start * W:(start + CHUNK) * W],
-                    bm_grp[start * W:(start + CHUNK) * W],
+                    tuple(w[start * W:(start + CHUNK) * W]
+                          for w in bm_grp),
                     ns_c.reshape(1).astype(jnp.int32), fields,
                     mask_kind=mask_kind, G=G, W=W, R=R,
                     dedup=True, interpret=interpret)
@@ -892,10 +933,9 @@ def _phase1_cross_runs(tlo1, tup1, asub_lo, asub_up, tlo2, tup2, G: int,
 
     Returns ``(a_idx, run_idx, bm_grp, nsteps, num_checks, overflow)``.
     """
-    from ..ops.subtile import N_BANDS as N_BANDS_TILES
     if interpret is None:
         interpret = _use_interpret()
-    assert R == 8
+    assert R in (8, 16)
     T1 = tlo1[0].shape[0]
     T2 = tlo2[0].shape[0]
     SS = 32
@@ -934,35 +974,9 @@ def _phase1_cross_runs(tlo1, tup1, asub_lo, asub_up, tlo2, tup2, G: int,
         jnp.minimum(nsp, SP_cap).reshape(1).astype(jnp.int32),
         Ta=T1, Tb=T2, triangle=False, interpret=interpret)[:, :, :SS]
 
-    NG = SS // R
-    wts = jnp.asarray([1 << (4 * j) for j in range(R)], jnp.int32)
-    words = (bits.reshape(SP_cap, SS, NG, R) * wts[None, None, None, :]
-             ).sum(-1)
-    num_checks = jnp.sum(
-        jax.lax.population_count(words)) * (G // N_BANDS_TILES) * G
-
-    i_io = jax.lax.broadcasted_iota(jnp.int32, (SP_cap, SS, NG), 1)
-    g_io = jax.lax.broadcasted_iota(jnp.int32, (SP_cap, SS, NG), 2)
-    ti_t = si[:, None, None] * SS + i_io
-    run_t = sj[:, None, None] * NG + g_io
-    key = (ti_t << 13) | run_t
-
-    live = (words != 0).reshape(-1)
-    run_cap = S_cap * W
-    key_c, nruns = _compact_flat(live, key.reshape(-1), run_cap, pad=-1)
-    word_c, _ = _compact_flat(live, words.reshape(-1), run_cap)
-    overflow |= nruns > run_cap
-
-    key_u = jax.lax.bitcast_convert_type(key_c, jnp.uint32)
-    key_s, word_s = jax.lax.sort((key_u, word_c), num_keys=1)
-    key_i = jax.lax.bitcast_convert_type(key_s, jnp.int32)
-    ti_r = (key_i >> 13) & 0xFFFF
-    run_r = key_i & 0x1FFF
-    rvalid = jnp.arange(run_cap, dtype=jnp.int32) < nruns
-    a_idx, (run_idx, bm_grp), nsteps = _leader_group(
-        ti_r, rvalid, (run_r, word_s), (pad_run, 0), W, S_cap)
-    overflow |= nsteps > S_cap
-    return a_idx, run_idx, bm_grp, nsteps, num_checks, overflow
+    a_idx, run_idx, bm_grp, nsteps, num_checks, ov2 = _runs_from_bits(
+        bits, si, sj, SS, G, W, S_cap, R, pad_run)
+    return a_idx, run_idx, bm_grp, nsteps, num_checks, overflow | ov2
 
 
 @partial(jax.jit, static_argnames=("capacity", "alg", "pair_capacity",
@@ -1012,7 +1026,7 @@ def traverse_tiles_pair_fixed(bvh1: BVH, bvh2: BVH, capacity: int, *,
     if use_two_phase:
         # two-phase run-block path, mirroring the self-contact branch
         from ..ops.tile_contact import tile_group_emit, tile_run_counts
-        R = 8
+        R = alg.run_r
         S_cap, CHUNK = _step_caps(pair_capacity // W + T1)
         if CHUNK > 1 << 13:
             CHUNK = 1 << 13
@@ -1030,7 +1044,8 @@ def traverse_tiles_pair_fixed(bvh1: BVH, bvh2: BVH, capacity: int, *,
                 return tile_run_counts(
                     a_idx[start:start + CHUNK],
                     run_idx[start * W:(start + CHUNK) * W],
-                    bm_grp[start * W:(start + CHUNK) * W],
+                    tuple(w[start * W:(start + CHUNK) * W]
+                          for w in bm_grp),
                     ns_c.reshape(1).astype(jnp.int32), f1, f2,
                     mask_kind=mask_kind, G=G, W=W, R=R,
                     dedup=False, interpret=interpret)
