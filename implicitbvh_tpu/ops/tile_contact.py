@@ -35,19 +35,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _lane_cumsum(x):
-    """Inclusive prefix sum along the minor (lane) axis via log-step shifted
-    adds — Mosaic-safe replacement for jnp.cumsum."""
-    n = x.shape[-1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
-    sh = 1
-    while sh < n:
-        rolled = pltpu.roll(x, sh, axis=x.ndim - 1)
-        x = x + jnp.where(lane >= sh, rolled, 0.0)
-        sh *= 2
-    return x
-
-
 # Scoped-VMEM budget for the kernels: the default 16 MB limit rejects the
 # growth-enlarged slot caps (CAP_PAIR=1024/ROW_CAP=32 needs ~19 MB of
 # compaction scratch); the physical VMEM is far larger.

@@ -205,53 +205,97 @@ def sharded_tile_self_contact(mesh: Mesh, bvh: BVH,
     ``(n_dev * capacity_per_device, 2)`` with each device's valid prefix
     in its slice.
     """
-    from ..ops.tile_contact import tile_group_contacts
-    from ..traverse.tiles import (TileTraversal, _extract_contacts,
-                                  _group_pairs, _pair_capacity_for,
-                                  _phase1_tile_pairs, _step_caps,
-                                  _tiled_fields)
+    from ..ops.tile_contact import tile_group_emit, tile_run_counts
+    from ..traverse.tiles import (TileTraversal, _finish_contacts,
+                                  _merge_streams, _pair_capacity_for,
+                                  _phase1_tile_runs, _regroup_emit_runs,
+                                  _step_caps, _tiled_fields)
 
     alg = alg or TileTraversal()
     G = alg.tile
+    R = alg.run_r
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     n_dev = mesh.shape[axis]
+    cap_dev = capacity_per_device
+    # the emit stream flushes aligned 1024-contact quanta; round its
+    # internal capacity up and slice back to the caller's contract
+    cap_stream = max(1024, -(-cap_dev // 1024) * 1024)
+    if alg.pair_cap > 128:
+        raise ValueError("sharded tile path needs pair_cap <= 128 "
+                         "(per-pair rows append as one lane row)")
 
     fields, sphere, tile_lo, tile_up, sub_lo, sub_up, T = \
         _tiled_fields(bvh, G)
     if T >= 1 << 16:
         raise ValueError("tile count exceeds 65536; raise the tile size")
     pair_capacity = _pair_capacity_for(T)
-    packed, band, npairs = _phase1_tile_pairs(
-        tile_lo, tile_up, sub_lo, sub_up, G, pair_capacity)
     W = 8
     S_loc, CHUNK = _step_caps(-(-(pair_capacity // W + T) // n_dev))
+    if CHUNK > 1 << 13:
+        CHUNK = 1 << 13
+        S_loc = -(-S_loc // CHUNK) * CHUNK
     S_cap = S_loc * n_dev
-    a_idx, b_idx, nsteps = _group_pairs(packed, band, npairs, W, S_cap, T)
+    pad_run = (-(-T // R) * R) // R
+    # phase 1 replicated (small vs the kernels); the grouped step list is
+    # split evenly across devices — each runs the two-phase run pipeline
+    # (count kernel -> regroup -> emit stream) on its own step slice
+    a_idx, run_idx, bm_grp, nsteps, num_checks, p1_over = _phase1_tile_runs(
+        tile_lo, tile_up, sub_lo, sub_up, G, pair_capacity, W, S_cap, R,
+        pad_run, interpret=interpret)
     leaf_index = bvh.leaves.index
     leaves = bvh.leaves
+    mask_kind = "sphere" if sphere else "box"
+    NW = len(bm_grp)
 
     def local_fn(fields_rep, leaf_index_rep, leaves_rep, nsteps_rep,
-                 npairs_rep, a_loc, b_loc):
+                 p1_over_rep, a_loc, b_loc, bm_loc):
         dev = jax.lax.axis_index(axis)
         b_flat = b_loc.reshape(-1)
+        bm_flat = tuple(bm_loc[:, q, :].reshape(-1) for q in range(NW))
         ns_done = jnp.clip(nsteps_rep - dev * S_loc, 0, S_loc)
-        slot_parts, cnt_parts = [], []
-        slot_overflow = jnp.zeros((), jnp.bool_)
+        cnt_parts = []
         for start in range(0, S_loc, CHUNK):
             ns_c = jnp.clip(ns_done - start, 0, CHUNK)
-            slots_c, cnt_c, ov_c = tile_group_contacts(
-                a_loc[start:start + CHUNK],
-                b_flat[start * W:(start + CHUNK) * W],
+
+            def run_chunk(start=start, ns_c=ns_c):
+                return tile_run_counts(
+                    a_loc[start:start + CHUNK],
+                    b_flat[start * W:(start + CHUNK) * W],
+                    tuple(w[start * W:(start + CHUNK) * W]
+                          for w in bm_flat),
+                    ns_c.reshape(1).astype(jnp.int32), fields_rep,
+                    mask_kind=mask_kind, G=G, W=W, R=R,
+                    dedup=True, interpret=interpret)
+
+            cnt_parts.append(jax.lax.cond(
+                ns_c > 0, run_chunk,
+                lambda: jnp.zeros((CHUNK * W * R,), jnp.int32)))
+        counts = jax.lax.optimization_barrier(jnp.concatenate(cnt_parts))
+        slot_overflow = jnp.any(counts > alg.pair_cap)
+
+        W2 = 4
+        # emit steps per device <= distinct a-tiles in the slice (< S_loc)
+        # + one partial W2-group per a-tile
+        S2_cap, CHUNK2 = _step_caps(S_loc + cap_stream // (8 * W2))
+        E2_cap = max(4096, cap_stream // 8)
+        a_idx2, b_idx2, nsteps2, over2 = _regroup_emit_runs(
+            a_loc, b_flat, bm_flat, counts, W2, S2_cap, E2_cap, T, R)
+        cap_overflow = (nsteps2 > S2_cap) | over2
+        parts = []
+        for start in range(0, S2_cap, CHUNK2):
+            ns_c = jnp.clip(nsteps2 - start, 0, CHUNK2)
+            gi_c, gj_c, tot_c, flags_c = tile_group_emit(
+                a_idx2[start:start + CHUNK2],
+                b_idx2[start * W2:(start + CHUNK2) * W2],
                 ns_c.reshape(1).astype(jnp.int32), fields_rep,
-                mask_kind="sphere" if sphere else "box", G=G, W=W,
+                mask_kind=mask_kind, G=G, W=W2,
                 ROW_CAP=alg.row_cap, CAP_PAIR=alg.pair_cap,
-                dedup=True, interpret=interpret)
-            slot_parts.append(slots_c)
-            cnt_parts.append(cnt_c)
-            slot_overflow = slot_overflow | ov_c
-        slots = jnp.concatenate(slot_parts, axis=0)
-        counts = jnp.concatenate(cnt_parts, axis=0)
+                dedup=True, CAP=cap_stream, interpret=interpret)
+            parts.append((gi_c, gj_c, tot_c))
+            cap_overflow = cap_overflow | ((flags_c & 1) > 0)
+            slot_overflow = slot_overflow | ((flags_c & 2) > 0)
+        gi_pos, gj_pos, total_d = _merge_streams(parts, cap_stream)
 
         narrow_fn = None
         if narrow is not None:
@@ -260,22 +304,24 @@ def sharded_tile_self_contact(mesh: Mesh, bvh: BVH,
                 lb = jax.tree_util.tree_map(lambda x: x[gj], leaves_rep)
                 return narrow(la, lb)
 
-        total_d, contacts_d = _extract_contacts(
-            slots, counts, leaf_index_rep, narrow_fn, capacity_per_device)
-        over = slot_overflow | (total_d > capacity_per_device) \
-            | (npairs_rep > pair_capacity) | (nsteps_rep > S_cap)
+        total_d, contacts_d = _finish_contacts(
+            gi_pos, gj_pos, total_d, leaf_index_rep, narrow_fn, cap_stream)
+        contacts_d = contacts_d[:cap_dev]
+        over = slot_overflow | cap_overflow | (total_d > cap_dev) \
+            | p1_over_rep
         overflow = jax.lax.psum(over.astype(jnp.int32), axis) > 0
         return (jax.lax.psum(total_d, axis), contacts_d,
                 total_d.reshape(1), overflow)
 
     fn = shard_map(
         local_fn, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(), P(axis), P(axis)),
+        in_specs=(P(), P(), P(), P(), P(), P(axis), P(axis), P(axis)),
         out_specs=(P(), P(axis), P(axis), P()),
         check_vma=False,
     )
-    return fn(fields, leaf_index, leaves, nsteps, npairs,
-              a_idx, b_idx.reshape(S_cap, W))
+    bm_stack = jnp.stack([w.reshape(S_cap, W) for w in bm_grp], axis=1)
+    return fn(fields, leaf_index, leaves, nsteps, p1_over,
+              a_idx, run_idx.reshape(S_cap, W), bm_stack)
 
 
 def sharded_rebuild_traverse_step(mesh: Mesh, node_kind=BBox,

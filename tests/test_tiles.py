@@ -143,6 +143,20 @@ def test_tiles_pair_differential():
     assert sorted(t.contacts_list()) == sorted(t_lvt.contacts_list())
 
 
+def test_tiles_two_phase_r16():
+    """run_r=16 (two band words per aligned run) must match brute force
+    exactly on the two-phase self-contact path."""
+    from implicitbvh_tpu.traverse.tiles import traverse_tiles_fixed
+    xs, rs, sp = spheres(300, 11)
+    bf = brute_force(xs, rs)
+    bvh = ib.build(sp, ib.BBox)
+    alg = TileTraversal(tile=32, row_cap=16, pair_cap=128, run_r=16)
+    total, contacts, ov, _nc = traverse_tiles_fixed(bvh, 1024, alg=alg)
+    assert int(ov) == 0
+    got = {tuple(map(int, r)) for r in np.asarray(contacts)[:int(total)]}
+    assert got == bf
+
+
 def test_tiles_pair_two_phase_path():
     """The two-phase run path for two-BVH traversal (count kernel -> emit
     stream; engages when capacity % 1024 == 0 and pair_cap <= 128) must
