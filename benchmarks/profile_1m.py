@@ -23,6 +23,7 @@ from implicitbvh_tpu.traverse.tiles import (
 from implicitbvh_tpu.ops.tile_contact import tile_run_counts
 
 K = 5
+INTERP = None  # resolved from the backend in main()
 
 
 def timed(fn, *args):
@@ -49,6 +50,8 @@ def timed(fn, *args):
 
 
 def main():
+    global INTERP
+    INTERP = jax.default_backend() == "cpu"
     n_tri = 1 << int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 20
     rng = np.random.default_rng(0)
     scale = float(n_tri) ** (1.0 / 3.0)
@@ -64,7 +67,9 @@ def main():
     T = -(-n_tri // G)
     pair_capacity = _pair_capacity_for(T)
     capacity = max(1 << math.ceil(math.log2(n_tri)) - 3, 4096)
-    alg = TileTraversal(row_cap=4, pair_cap=32)
+    R = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    W2 = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    alg = TileTraversal(row_cap=4, pair_cap=32, run_r=R, emit_w=W2)
 
     def s_volumes(q1, q2, q3):
         s = ib.bsphere_from_triangles(q1, q2, q3)
@@ -83,7 +88,7 @@ def main():
         bvh = ib.build(s, ib.BBox)
         return bvh.nodes.los[0].sum() + bvh.leaves.volume.xs[0][0]
 
-    W, R = 8, 8
+    W = 8
     T_tiles = -(-n_tri // G)
     S_cap, CHUNK = _step_caps(pair_capacity // W + T_tiles)
     if CHUNK > 1 << 13:
@@ -103,8 +108,8 @@ def main():
 
     def s_phase1(q1, q2, q3):
         bvh, fields, a_idx, run_idx, bm_grp, nsteps = _front(q1, q2, q3)
-        return (a_idx.sum().astype(jnp.float32) + run_idx[0] + bm_grp[0] +
-                nsteps.astype(jnp.float32))
+        return (a_idx.sum().astype(jnp.float32) + run_idx[0] +
+                bm_grp[0][0] + nsteps.astype(jnp.float32))
 
     def s_kernel(q1, q2, q3):
         bvh, fields, a_idx, run_idx, bm_grp, nsteps = _front(q1, q2, q3)
@@ -116,14 +121,66 @@ def main():
                 return tile_run_counts(
                     a_idx[start:start + CHUNK],
                     run_idx[start * W:(start + CHUNK) * W],
-                    bm_grp[start * W:(start + CHUNK) * W],
+                    tuple(w[start * W:(start + CHUNK) * W] for w in bm_grp),
                     ns_c.reshape(1).astype(jnp.int32), fields,
-                    mask_kind="sphere", G=G, W=W, R=R, dedup=True)
+                    mask_kind="sphere", G=G, W=W, R=R, dedup=True,
+                    interpret=INTERP)
 
             cnts = jax.lax.cond(
                 ns_c > 0, run_chunk,
                 lambda: jnp.zeros((CHUNK * W * R,), jnp.int32))
             dep += cnts.sum().astype(jnp.float32)
+        return dep
+
+    def _counts(q1, q2, q3):
+        bvh, fields, a_idx, run_idx, bm_grp, nsteps = _front(q1, q2, q3)
+        cnt_parts = []
+        for start in range(0, S_cap, CHUNK):
+            ns_c = jnp.clip(nsteps - start, 0, CHUNK)
+
+            def run_chunk(start=start, ns_c=ns_c):
+                return tile_run_counts(
+                    a_idx[start:start + CHUNK],
+                    run_idx[start * W:(start + CHUNK) * W],
+                    tuple(w[start * W:(start + CHUNK) * W] for w in bm_grp),
+                    ns_c.reshape(1).astype(jnp.int32), fields,
+                    mask_kind="sphere", G=G, W=W, R=R, dedup=True,
+                    interpret=INTERP)
+
+            cnt_parts.append(jax.lax.cond(
+                ns_c > 0, run_chunk,
+                lambda: jnp.zeros((CHUNK * W * R,), jnp.int32)))
+        counts = jax.lax.optimization_barrier(jnp.concatenate(cnt_parts))
+        return bvh, fields, a_idx, run_idx, bm_grp, counts
+
+    S2_cap, CHUNK2 = _step_caps(T_tiles + capacity // (8 * W2))
+    E2_cap = max(4096, capacity // 8)
+
+    def s_regroup(q1, q2, q3):
+        bvh, fields, a_idx, run_idx, bm_grp, counts = _counts(q1, q2, q3)
+        a2, b2, ns2, over2 = _regroup_emit_runs(
+            a_idx, run_idx, bm_grp, counts, W2, S2_cap, E2_cap,
+            T_tiles, R)
+        return (a2.sum().astype(jnp.float32) + b2[0] +
+                ns2.astype(jnp.float32))
+
+    def s_emit(q1, q2, q3):
+        from implicitbvh_tpu.ops.tile_contact import tile_group_emit
+        bvh, fields, a_idx, run_idx, bm_grp, counts = _counts(q1, q2, q3)
+        a2, b2, ns2, over2 = _regroup_emit_runs(
+            a_idx, run_idx, bm_grp, counts, W2, S2_cap, E2_cap,
+            T_tiles, R)
+        dep = jnp.float32(0)
+        for start in range(0, S2_cap, CHUNK2):
+            ns_c = jnp.clip(ns2 - start, 0, CHUNK2)
+            gi_c, gj_c, tot_c, flags_c = tile_group_emit(
+                a2[start:start + CHUNK2],
+                b2[start * W2:(start + CHUNK2) * W2],
+                ns_c.reshape(1).astype(jnp.int32), fields,
+                mask_kind="sphere", G=G, W=W2, ROW_CAP=alg.row_cap,
+                CAP_PAIR=alg.pair_cap, dedup=True, CAP=capacity,
+                interpret=INTERP)
+            dep += tot_c.astype(jnp.float32) + gi_c[0] + gj_c[0]
         return dep
 
     def s_full(q1, q2, q3):
@@ -149,7 +206,8 @@ def main():
           flush=True)
 
     stages = [("volumes", s_volumes), ("build", s_build),
-              ("phase1", s_phase1), ("kernel", s_kernel), ("full", s_full)]
+              ("phase1", s_phase1), ("kernel", s_kernel),
+              ("regroup", s_regroup), ("emit", s_emit), ("full", s_full)]
     prev = 0.0
     for name, fn in stages:
         ms = timed(fn, p1, p2, p3)

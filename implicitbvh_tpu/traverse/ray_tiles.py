@@ -321,7 +321,7 @@ def traverse_rays_tiles_fixed(bvh: BVH, points, directions, capacity: int, *,
         counts = jax.lax.optimization_barrier(jnp.concatenate(cnt_parts))
         slot_overflow = jnp.any(counts > alg.pair_cap)
 
-        W2 = 4
+        W2 = alg.emit_w
         S2_cap, CHUNK2 = _step_caps(RT + capacity // (8 * W2))
         E2_cap = max(4096, capacity // 8)
         a_idx2, b_idx2, nsteps2, over2 = _regroup_emit_runs(

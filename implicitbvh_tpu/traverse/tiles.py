@@ -47,6 +47,7 @@ class TileTraversal(TraversalAlgorithm):
     - ``run_r``: aligned b-tile run length for the two-phase count kernel
       (8 or 16; 16 halves the b-DMA count at ~28%% more fetched-but-dead
       tiles on 1M scenes).
+    - ``emit_w``: b-tiles per emit-kernel grid step (shared a-tile DMA).
     Overflows are detected and the host wrapper re-runs with doubled caps.
     """
 
@@ -54,6 +55,7 @@ class TileTraversal(TraversalAlgorithm):
     row_cap: int = 4
     pair_cap: int = 32   # 16 overflows on 1M unit-density scenes (measured)
     run_r: int = 8
+    emit_w: int = 4
 
 
 # Capacity heuristics, derived from densities measured on unit-density
@@ -96,7 +98,7 @@ def _grow_alg(alg: "TileTraversal") -> "TileTraversal":
     return TileTraversal(tile=alg.tile,
                          row_cap=min(4 * alg.row_cap, MAX_ROW_CAP),
                          pair_cap=min(4 * alg.pair_cap, MAX_PAIR_CAP),
-                         run_r=alg.run_r)
+                         run_r=alg.run_r, emit_w=alg.emit_w)
 
 
 def _use_interpret() -> bool:
@@ -111,7 +113,7 @@ def _merge_cached_alg(alg: "TileTraversal", cache) -> "TileTraversal":
         return TileTraversal(tile=alg.tile,
                              row_cap=max(alg.row_cap, prev.row_cap),
                              pair_cap=max(alg.pair_cap, prev.pair_cap),
-                             run_r=alg.run_r)
+                             run_r=alg.run_r, emit_w=alg.emit_w)
     return alg
 
 
@@ -403,7 +405,12 @@ def _runs_from_bits(bits, si, sj, SS: int, G: int, W: int, S_cap: int,
     live = wflat[0] != 0
     for q in range(1, NW):
         live = live | (wflat[q] != 0)
-    run_cap = S_cap * W
+    # the compaction/sort cap is much tighter than the grouped layout's
+    # S_cap * W slots: live runs measure ~17% of the grouped capacity at
+    # 1M (66k vs 393k), so a 1/4 cap still carries ~1.5x headroom while
+    # the sort and the leader-grouping scans shrink 4x; overflow feeds
+    # the growth loop like every other capacity
+    run_cap = max(min(S_cap * W, 16384), S_cap * W // 4)
     key_c, nruns = _compact_flat(live, key.reshape(-1), run_cap, pad=-1)
     words_c = [_compact_flat(live, wq, run_cap)[0] for wq in wflat]
     overflow = nruns > run_cap
@@ -726,7 +733,7 @@ def traverse_tiles_fixed(bvh: BVH, capacity: int, *,
         counts = jax.lax.optimization_barrier(jnp.concatenate(cnt_parts))
         slot_overflow = jnp.any(counts > alg.pair_cap)
 
-        W2 = 4
+        W2 = alg.emit_w
         S2_cap, CHUNK2 = _step_caps(T + capacity // (8 * W2))
         E2_cap = max(4096, capacity // 8)
         a_idx2, b_idx2, nsteps2, over2 = _regroup_emit_runs(
@@ -1057,7 +1064,7 @@ def traverse_tiles_pair_fixed(bvh1: BVH, bvh2: BVH, capacity: int, *,
         counts = jax.lax.optimization_barrier(jnp.concatenate(cnt_parts))
         slot_overflow = jnp.any(counts > alg.pair_cap)
 
-        W2 = 4
+        W2 = alg.emit_w
         S2_cap, CHUNK2 = _step_caps(T1 + capacity // (8 * W2))
         E2_cap = max(4096, capacity // 8)
         a_idx2, b_idx2, nsteps2, over2 = _regroup_emit_runs(
