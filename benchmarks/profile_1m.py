@@ -19,7 +19,7 @@ import implicitbvh_tpu as ib
 from implicitbvh_tpu.traverse import TileTraversal, traverse_tiles_fixed
 from implicitbvh_tpu.traverse.tiles import (
     _pair_capacity_for, _phase1_tile_runs, _regroup_emit_runs,
-    _step_caps, _tiled_fields)
+    _run_chunk_cap, _step_caps, _tiled_fields)
 from implicitbvh_tpu.ops.tile_contact import tile_run_counts
 
 K = 5
@@ -69,7 +69,9 @@ def main():
     capacity = max(1 << math.ceil(math.log2(n_tri)) - 3, 4096)
     R = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     W2 = int(sys.argv[3]) if len(sys.argv) > 3 else 4
-    alg = TileTraversal(row_cap=4, pair_cap=32, run_r=R, emit_w=W2)
+    NB = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+    alg = TileTraversal(row_cap=4, pair_cap=32, run_r=R, emit_w=W2,
+                        bands=NB)
 
     def s_volumes(q1, q2, q3):
         s = ib.bsphere_from_triangles(q1, q2, q3)
@@ -91,8 +93,9 @@ def main():
     W = 8
     T_tiles = -(-n_tri // G)
     S_cap, CHUNK = _step_caps(pair_capacity // W + T_tiles)
-    if CHUNK > 1 << 13:
-        CHUNK = 1 << 13
+    ch_cap = _run_chunk_cap(W, R, NB)
+    if CHUNK > ch_cap:
+        CHUNK = ch_cap
         S_cap = -(-S_cap // CHUNK) * CHUNK
     pad_run = (-(-T_tiles // R) * R) // R
 
@@ -100,10 +103,10 @@ def main():
         s = ib.bsphere_from_triangles(q1, q2, q3)
         bvh = ib.build(s, ib.BBox)
         fields, sphere, tile_lo, tile_up, sub_lo, sub_up, T_ = \
-            _tiled_fields(bvh, G)
+            _tiled_fields(bvh, G, NB)
         a_idx, run_idx, bm_grp, nsteps, num_checks, p1_over = \
             _phase1_tile_runs(tile_lo, tile_up, sub_lo, sub_up, G,
-                              pair_capacity, W, S_cap, R, pad_run)
+                              pair_capacity, W, S_cap, R, pad_run, NB)
         return bvh, fields, a_idx, run_idx, bm_grp, nsteps
 
     def s_phase1(q1, q2, q3):
@@ -123,7 +126,7 @@ def main():
                     run_idx[start * W:(start + CHUNK) * W],
                     tuple(w[start * W:(start + CHUNK) * W] for w in bm_grp),
                     ns_c.reshape(1).astype(jnp.int32), fields,
-                    mask_kind="sphere", G=G, W=W, R=R, dedup=True,
+                    mask_kind="sphere", G=G, W=W, R=R, NB=NB, dedup=True,
                     interpret=INTERP)
 
             cnts = jax.lax.cond(
@@ -144,7 +147,7 @@ def main():
                     run_idx[start * W:(start + CHUNK) * W],
                     tuple(w[start * W:(start + CHUNK) * W] for w in bm_grp),
                     ns_c.reshape(1).astype(jnp.int32), fields,
-                    mask_kind="sphere", G=G, W=W, R=R, dedup=True,
+                    mask_kind="sphere", G=G, W=W, R=R, NB=NB, dedup=True,
                     interpret=INTERP)
 
             cnt_parts.append(jax.lax.cond(
@@ -160,7 +163,7 @@ def main():
         bvh, fields, a_idx, run_idx, bm_grp, counts = _counts(q1, q2, q3)
         a2, b2, ns2, over2 = _regroup_emit_runs(
             a_idx, run_idx, bm_grp, counts, W2, S2_cap, E2_cap,
-            T_tiles, R)
+            T_tiles, R, NB)
         return (a2.sum().astype(jnp.float32) + b2[0] +
                 ns2.astype(jnp.float32))
 
@@ -169,7 +172,7 @@ def main():
         bvh, fields, a_idx, run_idx, bm_grp, counts = _counts(q1, q2, q3)
         a2, b2, ns2, over2 = _regroup_emit_runs(
             a_idx, run_idx, bm_grp, counts, W2, S2_cap, E2_cap,
-            T_tiles, R)
+            T_tiles, R, NB)
         dep = jnp.float32(0)
         for start in range(0, S2_cap, CHUNK2):
             ns_c = jnp.clip(ns2 - start, 0, CHUNK2)

@@ -462,8 +462,8 @@ def _stream_flush(stage_gi, stage_gj, gi_hbm, gj_hbm, sems, cur_ref,
 # ---------------------------------------------------------------------------
 
 
-def _run_count_kernel(mask_kind: str, G: int, W: int, R: int, dedup: bool,
-                      *prefetch_and_refs):
+def _run_count_kernel(mask_kind: str, G: int, W: int, R: int, NB: int,
+                      dedup: bool, *prefetch_and_refs):
     """Count kernel over aligned b-tile *runs*: one (R, 8, G) DMA covers R
     consecutive b tiles.
 
@@ -474,16 +474,19 @@ def _run_count_kernel(mask_kind: str, G: int, W: int, R: int, dedup: bool,
     both the b-DMA count and the step count ~3x.  Dead tiles inside a run
     skip at the scalar level (measured: a dead pl.when region costs < 1 ns,
     benchmarks/micro_branch_bf16.py), driven by ``bm_ref`` words carrying
-    4 band bits per tile (R * 4 <= 32).
+    NB band bits per tile (32 // NB tiles per word).
+
+    ``NB`` sub-bands per tile set the mask quantum: a live band costs one
+    (G // NB, G) vector mask, so finer bands trade more (near-free) scalar
+    branches and more prefetched words for proportionally less dead mask
+    work (phase 1b computes the bits, ops/subtile.py).
 
     Output: (1, W * R, 128) f32 rows of per-tile *lane-partial* counts
     (sum over mask sublanes only) — the XLA caller reduces lanes, so the
     kernel has no cross-lane reduction and no vector->scalar syncs at all.
-
-    Band bits arrive as ``R // 8`` prefetched word arrays (4 bits per
-    tile, 8 tiles per word), so R = 16 runs carry a (lo, hi) word pair.
     """
-    NW = R // 8
+    TPW = 32 // NB             # tiles per band word
+    NW = R // TPW
     ai_ref = prefetch_and_refs[0]
     bi_ref = prefetch_and_refs[1]
     bm_refs = prefetch_and_refs[2:2 + NW]
@@ -492,7 +495,7 @@ def _run_count_kernel(mask_kind: str, G: int, W: int, R: int, dedup: bool,
     aref = refs[0]
     brefs = refs[1:1 + W]
     out = refs[1 + W]          # (1, W * R, 128) f32 lane-partial counts
-    BH = G // N_BANDS
+    BH = G // NB
 
     s = pl.program_id(0)
     step_valid = s < nsteps_ref[0]
@@ -514,14 +517,15 @@ def _run_count_kernel(mask_kind: str, G: int, W: int, R: int, dedup: bool,
             @pl.when(any_live != 0)
             def _(w=w, words=words, base=base):
                 for t in range(R):
-                    bm_t = (words[t // 8] >> (4 * (t % 8))) & 0xF
+                    bm_t = (words[t // TPW] >> (NB * (t % TPW))) & \
+                        ((1 << NB) - 1)
 
                     @pl.when(bm_t != 0)
                     def _(t=t, bm_t=bm_t, w=w, base=base):
                         b_blk = brefs[w][t]
                         tj = base * R + t
                         k = w * R + t
-                        for r in range(N_BANDS):
+                        for r in range(NB):
                             @pl.when(((bm_t >> r) & 1) != 0)
                             def _(r=r, b_blk=b_blk, tj=tj, k=k):
                                 m = _band_mask(mask_kind, cols, b_blk,
@@ -540,19 +544,21 @@ def _run_count_kernel(mask_kind: str, G: int, W: int, R: int, dedup: bool,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mask_kind", "G", "W", "R", "dedup", "interpret"))
+    static_argnames=("mask_kind", "G", "W", "R", "NB", "dedup",
+                     "interpret"))
 def tile_run_counts(a_idx, b_idx, bm_words, nsteps, a_fields,
                     b_fields=None, *, mask_kind: str, G: int, W: int = 8,
-                    R: int = 8, dedup: bool = False,
+                    R: int = 8, NB: int = N_BANDS, dedup: bool = False,
                     interpret: bool = False):
     """Run the run-block count kernel (see _run_count_kernel).
 
     - ``a_idx``: (S_cap,) int32 a-tile index per step.
     - ``b_idx``: (S_cap * W,) int32 aligned run indices (tj >> log2(R)) in
       the low 16 bits; pad entries point at the NaN pad run.
-    - ``bm_words``: tuple of ``R // 8`` (S_cap * W,) int32 per-run word
-      arrays, 4 band bits per tile 8 tiles per word (tile t's bits at
-      word ``t // 8``, bits [4(t%8), 4(t%8)+4)); pad entries carry 0.
+    - ``bm_words``: tuple of ``R * NB // 32`` (S_cap * W,) int32 per-run
+      word arrays, NB band bits per tile, 32 // NB tiles per word (tile
+      t's bits at word ``t // (32//NB)``, bits [NB*(t%(32//NB)), +NB));
+      pad entries carry 0.
 
     Returns ``counts`` (S_cap * W * R,) int32: exact contact counts of
     every (step, w, t) tile pair (zero for dead tiles/pads).
@@ -563,8 +569,10 @@ def tile_run_counts(a_idx, b_idx, bm_words, nsteps, a_fields,
     Fa, Fb = MASK_FIELD_COUNTS[mask_kind]
     assert len(a_fields) == Fa and len(b_fields) == Fb, \
         (mask_kind, len(a_fields), len(b_fields))
-    assert R % 8 == 0
-    NW = R // 8
+    assert NB in (4, 8, 16) and G % NB == 0, (NB, G)
+    TPW = 32 // NB
+    assert R % TPW == 0, (R, NB)
+    NW = R // TPW
     if not isinstance(bm_words, (tuple, list)):
         bm_words = (bm_words,)
     assert len(bm_words) == NW, (len(bm_words), NW)
@@ -613,7 +621,8 @@ def tile_run_counts(a_idx, b_idx, bm_words, nsteps, a_fields,
         ],
     )
 
-    kernel = functools.partial(_run_count_kernel, mask_kind, G, W, R, dedup)
+    kernel = functools.partial(_run_count_kernel, mask_kind, G, W, R, NB,
+                               dedup)
     (out,) = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -209,11 +209,13 @@ def sharded_tile_self_contact(mesh: Mesh, bvh: BVH,
     from ..traverse.tiles import (TileTraversal, _finish_contacts,
                                   _merge_streams, _pair_capacity_for,
                                   _phase1_tile_runs, _regroup_emit_runs,
-                                  _step_caps, _tiled_fields)
+                                  _run_chunk_cap, _step_caps,
+                                  _tiled_fields)
 
     alg = alg or TileTraversal()
     G = alg.tile
     R = alg.run_r
+    NB = alg.bands
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     n_dev = mesh.shape[axis]
@@ -226,14 +228,15 @@ def sharded_tile_self_contact(mesh: Mesh, bvh: BVH,
                          "(per-pair rows append as one lane row)")
 
     fields, sphere, tile_lo, tile_up, sub_lo, sub_up, T = \
-        _tiled_fields(bvh, G)
+        _tiled_fields(bvh, G, NB)
     if T >= 1 << 16:
         raise ValueError("tile count exceeds 65536; raise the tile size")
     pair_capacity = _pair_capacity_for(T)
     W = 8
     S_loc, CHUNK = _step_caps(-(-(pair_capacity // W + T) // n_dev))
-    if CHUNK > 1 << 13:
-        CHUNK = 1 << 13
+    ch_cap = _run_chunk_cap(W, R, NB)
+    if CHUNK > ch_cap:
+        CHUNK = ch_cap
         S_loc = -(-S_loc // CHUNK) * CHUNK
     S_cap = S_loc * n_dev
     pad_run = (-(-T // R) * R) // R
@@ -242,7 +245,7 @@ def sharded_tile_self_contact(mesh: Mesh, bvh: BVH,
     # (count kernel -> regroup -> emit stream) on its own step slice
     a_idx, run_idx, bm_grp, nsteps, num_checks, p1_over = _phase1_tile_runs(
         tile_lo, tile_up, sub_lo, sub_up, G, pair_capacity, W, S_cap, R,
-        pad_run, interpret=interpret)
+        pad_run, NB, interpret=interpret)
     leaf_index = bvh.leaves.index
     leaves = bvh.leaves
     mask_kind = "sphere" if sphere else "box"
@@ -265,7 +268,7 @@ def sharded_tile_self_contact(mesh: Mesh, bvh: BVH,
                     tuple(w[start * W:(start + CHUNK) * W]
                           for w in bm_flat),
                     ns_c.reshape(1).astype(jnp.int32), fields_rep,
-                    mask_kind=mask_kind, G=G, W=W, R=R,
+                    mask_kind=mask_kind, G=G, W=W, R=R, NB=NB,
                     dedup=True, interpret=interpret)
 
             cnt_parts.append(jax.lax.cond(
@@ -274,13 +277,13 @@ def sharded_tile_self_contact(mesh: Mesh, bvh: BVH,
         counts = jax.lax.optimization_barrier(jnp.concatenate(cnt_parts))
         slot_overflow = jnp.any(counts > alg.pair_cap)
 
-        W2 = 4
+        W2 = alg.emit_w
         # emit steps per device <= distinct a-tiles in the slice (< S_loc)
         # + one partial W2-group per a-tile
         S2_cap, CHUNK2 = _step_caps(S_loc + cap_stream // (8 * W2))
         E2_cap = max(4096, cap_stream // 8)
         a_idx2, b_idx2, nsteps2, over2 = _regroup_emit_runs(
-            a_loc, b_flat, bm_flat, counts, W2, S2_cap, E2_cap, T, R)
+            a_loc, b_flat, bm_flat, counts, W2, S2_cap, E2_cap, T, R, NB)
         cap_overflow = (nsteps2 > S2_cap) | over2
         parts = []
         for start in range(0, S2_cap, CHUNK2):

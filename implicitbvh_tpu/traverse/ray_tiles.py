@@ -82,18 +82,16 @@ def _ray_tile_fields(p, d, perm, G: int):
     return fields, RT
 
 
-def _ray_tile_hits(rfields, tile_lo, tile_up):
+def _ray_tile_hits(rfields, tile_lo, tile_up, NB: int = 4):
     """(RT, T) int32 band bits: bit r set iff any ray of ray-tile rt's
-    (G/N_BANDS)-ray sub-band r hits leaf-tile t's AABB (bits > 0 = the old
+    (G/NB)-ray sub-band r hits leaf-tile t's AABB (bits > 0 = the old
     any-ray hit).  The contact kernel skips dead mask bands via the bits —
     useful-test density was only ~14% at tile granularity (rays that miss
     the tile AABB still got tested against all its leaves)."""
-    from ..ops.tile_contact import N_BANDS
-
     RT = rfields[0].shape[0]
     T = tile_lo[0].shape[0]
     G = rfields[0].shape[1]
-    BH = G // N_BANDS
+    BH = G // NB
     los = tuple(tile_lo)
     ups = tuple(tile_up)
 
@@ -116,7 +114,7 @@ def _ray_tile_hits(rfields, tile_lo, tile_up):
         rflat.append(f.reshape(RTB, MB * G))
     stacked = jnp.stack(rflat, axis=1)             # (RTB, 6, MB*G)
 
-    wts = (1 << jnp.arange(N_BANDS, dtype=jnp.int32))[None, :, None]
+    wts = (1 << jnp.arange(NB, dtype=jnp.int32))[None, :, None]
 
     def block(blk):                                # (6, MB*G) -> (MB, T)
         tmin = None
@@ -131,16 +129,16 @@ def _ray_tile_hits(rfields, tile_lo, tile_up):
             tmin = lo if tmin is None else max2(tmin, lo)
             tmax = hi if tmax is None else min2(tmax, hi)
         hit = (tmin <= tmax) & (tmax >= 0)
-        hb = jnp.any(hit.reshape(MB * N_BANDS, BH, T), axis=1)
-        return jnp.sum(hb.reshape(MB, N_BANDS, T).astype(jnp.int32) * wts,
+        hb = jnp.any(hit.reshape(MB * NB, BH, T), axis=1)
+        return jnp.sum(hb.reshape(MB, NB, T).astype(jnp.int32) * wts,
                        axis=1)
 
     return jax.lax.map(block, stacked).reshape(RTB * MB, T)[:RT]
 
 
-@partial(jax.jit, static_argnames=("W", "S_cap", "R", "pad_run"))
+@partial(jax.jit, static_argnames=("W", "S_cap", "R", "pad_run", "NB"))
 def _phase1_ray_runs(rfields, tile_lo, tile_up, W: int, S_cap: int,
-                     R: int, pad_run: int):
+                     R: int, pad_run: int, NB: int = 4):
     """Run-granularity candidate extraction for the two-phase ray path:
     per ray tile, its candidate *aligned leaf-tile runs* (R consecutive
     leaf tiles sharing one (R, 8, G) slab DMA) are W-grouped per step,
@@ -153,20 +151,20 @@ def _phase1_ray_runs(rfields, tile_lo, tile_up, W: int, S_cap: int,
 
     Returns ``(a_idx, run_idx, bm_words, nsteps, num_checks)``.
     """
-    from ..ops.tile_contact import N_BANDS
-    bits = _ray_tile_hits(rfields, tile_lo, tile_up)   # (RT, T) band bits
+    bits = _ray_tile_hits(rfields, tile_lo, tile_up, NB)   # (RT, T) bits
     RT, T = bits.shape
     G = rfields[0].shape[1]
-    NW = R // 8
+    TPW = 32 // NB
+    NW = R // TPW
     NGT = -(-T // R)
     if NGT * R - T:
         bits = jnp.concatenate(
             [bits, jnp.zeros((RT, NGT * R - T), jnp.int32)], axis=1)
-    wts = jnp.asarray([1 << (4 * j) for j in range(8)], jnp.int32)
-    words = (bits.reshape(RT, NGT, NW, 8) *
+    wts = jnp.asarray([1 << (NB * j) for j in range(TPW)], jnp.int32)
+    words = (bits.reshape(RT, NGT, NW, TPW) *
              wts[None, None, None, :]).sum(-1)       # (RT, NGT, NW)
     num_checks = jnp.sum(
-        jax.lax.population_count(words)) * (G // N_BANDS) * G
+        jax.lax.population_count(words)) * (G // NB) * G
 
     live = (words != 0).any(-1)
     h = live.astype(jnp.int32)
@@ -290,14 +288,17 @@ def traverse_rays_tiles_fixed(bvh: BVH, points, directions, capacity: int, *,
         # run-block count kernel -> regroup of the hit-bearing pairs ->
         # scalar-driven emit kernel streaming (ray, leaf) contacts dense
         from ..ops.tile_contact import tile_group_emit, tile_run_counts
+        from .tiles import _run_chunk_cap
         R = alg.run_r
+        NB = alg.bands
         S_cap, CHUNK = _step_caps(pair_capacity // W + RT)
-        if CHUNK > 1 << 13:
-            CHUNK = 1 << 13
+        ch_cap = _run_chunk_cap(W, R, NB)
+        if CHUNK > ch_cap:
+            CHUNK = ch_cap
             S_cap = -(-S_cap // CHUNK) * CHUNK
         pad_run = (-(-T // R) * R) // R
         a_idx, run_idx, bm_grp, nsteps, num_checks = _phase1_ray_runs(
-            rfields, tile_lo, tile_up, W, S_cap, R, pad_run)
+            rfields, tile_lo, tile_up, W, S_cap, R, pad_run, NB)
         pair_overflow = nsteps > S_cap
         cnt_parts = []
         for start in range(0, S_cap, CHUNK):
@@ -310,7 +311,7 @@ def traverse_rays_tiles_fixed(bvh: BVH, points, directions, capacity: int, *,
                     tuple(w[start * W:(start + CHUNK) * W]
                           for w in bm_grp),
                     ns_c.reshape(1).astype(jnp.int32), rfields, fields,
-                    mask_kind=mask_kind, G=G, W=W, R=R,
+                    mask_kind=mask_kind, G=G, W=W, R=R, NB=NB,
                     dedup=False, interpret=interpret)
 
             cnt_parts.append(jax.lax.cond(
@@ -325,7 +326,7 @@ def traverse_rays_tiles_fixed(bvh: BVH, points, directions, capacity: int, *,
         S2_cap, CHUNK2 = _step_caps(RT + capacity // (8 * W2))
         E2_cap = max(4096, capacity // 8)
         a_idx2, b_idx2, nsteps2, over2 = _regroup_emit_runs(
-            a_idx, run_idx, bm_grp, counts, W2, S2_cap, E2_cap, T, R)
+            a_idx, run_idx, bm_grp, counts, W2, S2_cap, E2_cap, T, R, NB)
         cap_overflow = (nsteps2 > S2_cap) | over2
         parts = []
         for start in range(0, S2_cap, CHUNK2):

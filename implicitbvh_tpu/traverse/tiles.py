@@ -48,6 +48,10 @@ class TileTraversal(TraversalAlgorithm):
       (8 or 16; 16 halves the b-DMA count at ~28%% more fetched-but-dead
       tiles on 1M scenes).
     - ``emit_w``: b-tiles per emit-kernel grid step (shared a-tile DMA).
+    - ``bands``: sub-bands per tile for the banded broad phase (4, 8 or
+      16): the count kernel's mask quantum is (tile/bands, tile) — finer
+      bands cut dead mask work at the cost of more phase-1b compute and
+      band words (ops/subtile.py).
     Overflows are detected and the host wrapper re-runs with doubled caps.
     """
 
@@ -56,6 +60,7 @@ class TileTraversal(TraversalAlgorithm):
     pair_cap: int = 32   # 16 overflows on 1M unit-density scenes (measured)
     run_r: int = 8
     emit_w: int = 4
+    bands: int = 4
 
 
 # Capacity heuristics, derived from densities measured on unit-density
@@ -93,12 +98,38 @@ def _step_caps(need: int):
     return -(-need // CH_MAX) * CH_MAX, CH_MAX
 
 
+def _run_chunk_cap(W: int, R: int, NB: int) -> int:
+    """Step-chunk ceiling for the two-phase run path: each chunk prefetches
+    a_idx (CHUNK,), run_idx (CHUNK * W,) and ``R * NB // 32`` band-word
+    arrays (CHUNK * W,) into SMEM (1 MB total budget, shared with the
+    emit pass's arrays)."""
+    NW = (R * NB) // 32
+    words = 1 + W * (1 + NW)
+    cap = 700_000 // (4 * words)
+    return min(1 << 13, 1 << (cap.bit_length() - 1))
+
+
+def _fold_sub4(sub_lo, sub_up):
+    """Fold (T, NB) sub-band bounds to the 4-band form used by the
+    pair-granularity fallback kernels (their payload packing carries the
+    band bits through the f32-exact compactor, which caps them at 4)."""
+    NB = sub_lo[0].shape[1]
+    if NB == 4:
+        return sub_lo, sub_up
+    g = NB // 4
+    T = sub_lo[0].shape[0]
+    lo = tuple(c.reshape(T, 4, g).min(2) for c in sub_lo)
+    up = tuple(c.reshape(T, 4, g).max(2) for c in sub_up)
+    return lo, up
+
+
 def _grow_alg(alg: "TileTraversal") -> "TileTraversal":
     """4x slot-cap growth under the VMEM ceilings."""
     return TileTraversal(tile=alg.tile,
                          row_cap=min(4 * alg.row_cap, MAX_ROW_CAP),
                          pair_cap=min(4 * alg.pair_cap, MAX_PAIR_CAP),
-                         run_r=alg.run_r, emit_w=alg.emit_w)
+                         run_r=alg.run_r, emit_w=alg.emit_w,
+                         bands=alg.bands)
 
 
 def _use_interpret() -> bool:
@@ -113,7 +144,8 @@ def _merge_cached_alg(alg: "TileTraversal", cache) -> "TileTraversal":
         return TileTraversal(tile=alg.tile,
                              row_cap=max(alg.row_cap, prev.row_cap),
                              pair_cap=max(alg.pair_cap, prev.pair_cap),
-                             run_r=alg.run_r, emit_w=alg.emit_w)
+                             run_r=alg.run_r, emit_w=alg.emit_w,
+                         bands=alg.bands)
     return alg
 
 
@@ -166,6 +198,7 @@ def _phase1_tile_pairs(tile_lo, tile_up, sub_lo, sub_up, G: int, P_cap: int,
     """
     if interpret is None:
         interpret = _use_interpret()
+    sub_lo, sub_up = _fold_sub4(sub_lo, sub_up)
     T = tile_lo[0].shape[0]
     SS = 32
     S = -(-T // SS)
@@ -306,9 +339,9 @@ def _leader_group(ti_flat, valid, payloads, pads, W: int, S_cap: int):
 
 
 @partial(jax.jit, static_argnames=("G", "P_cap", "W", "S_cap", "R",
-                                   "pad_run", "interpret"))
+                                   "pad_run", "NB", "interpret"))
 def _phase1_tile_runs(tile_lo, tile_up, sub_lo, sub_up, G: int, P_cap: int,
-                      W: int, S_cap: int, R: int, pad_run: int,
+                      W: int, S_cap: int, R: int, pad_run: int, NB: int = 4,
                       interpret: Optional[bool] = None):
     """Phase 1 fused to *run* granularity for the run-block count kernel:
     level-A supertile pairs -> subtile band bits -> per-run band words ->
@@ -326,10 +359,9 @@ def _phase1_tile_runs(tile_lo, tile_up, sub_lo, sub_up, G: int, P_cap: int,
 
     Returns ``(a_idx, run_idx, bm_grp, nsteps, num_checks, overflow)``.
     """
-    from ..ops.subtile import N_BANDS as N_BANDS_TILES
     if interpret is None:
         interpret = _use_interpret()
-    assert R in (8, 16) and G % N_BANDS_TILES == 0
+    assert R in (8, 16) and G % NB == 0
     T = tile_lo[0].shape[0]
     SS = 32
     S = -(-T // SS)
@@ -361,37 +393,41 @@ def _phase1_tile_runs(tile_lo, tile_up, sub_lo, sub_up, G: int, P_cap: int,
     bits = subtile_band_bits(
         sub_lo, sub_up, tile_lo, tile_up, si, sj,
         jnp.minimum(nsp, SP_cap).reshape(1).astype(jnp.int32),
-        Ta=T, Tb=T, triangle=True, interpret=interpret)[:, :, :SS]
+        Ta=T, Tb=T, triangle=True, n_bands=NB,
+        interpret=interpret)[:, :, :SS]
 
     a_idx, run_idx, bm_grp, nsteps, num_checks, ov2 = _runs_from_bits(
-        bits, si, sj, SS, G, W, S_cap, R, pad_run)
+        bits, si, sj, SS, G, W, S_cap, R, pad_run, NB)
     return a_idx, run_idx, bm_grp, nsteps, num_checks, overflow | ov2
 
 
 def _runs_from_bits(bits, si, sj, SS: int, G: int, W: int, S_cap: int,
-                    R: int, pad_run: int):
+                    R: int, pad_run: int, NB: int = 4):
     """Shared phase-1 tail: (SP_cap, SS, SS) band bits -> sorted,
     W-grouped aligned-run lists for the run-block count kernel.
 
-    Per-run band bits pack 8 tiles per int32 word (``R // 8`` word arrays
-    — one for R = 8, a (lo, hi) pair for R = 16) via exact int32 weighted
+    Per-run band bits pack ``32 // NB`` tiles per int32 word
+    (``R * NB // 32`` word arrays per run) via exact int32 weighted
     lane-group sums in the bits' native layout (no transpose); at this
     size (SP_cap * SS * SS / R elements) plain XLA cumsum+scatter
-    compaction beats the Pallas stream compactor.
+    compaction beats the Pallas stream compactor.  (For NB = 16 the
+    second tile's bits land in the sign half of the word — int32 wrapping
+    multiplication produces the intended bit pattern, and every consumer
+    is bitwise.)
 
     Returns ``(a_idx, run_idx, bm_grp tuple, nsteps, num_checks,
     overflow)``.
     """
-    from ..ops.subtile import N_BANDS as N_BANDS_TILES
     SP_cap = bits.shape[0]
     NG = SS // R
-    NW = R // 8
-    wts = jnp.asarray([1 << (4 * j) for j in range(8)], jnp.int32)
-    # (SP_cap, SS, NG, NW): word q of run g covers tiles [8q, 8q+8)
-    words = (bits.reshape(SP_cap, SS, NG, NW, 8) *
+    TPW = 32 // NB
+    NW = R // TPW
+    wts = jnp.asarray([1 << (NB * j) for j in range(TPW)], jnp.int32)
+    # (SP_cap, SS, NG, NW): word q of run g covers tiles [q*TPW, +TPW)
+    words = (bits.reshape(SP_cap, SS, NG, NW, TPW) *
              wts[None, None, None, None, :]).sum(-1)
     num_checks = jnp.sum(
-        jax.lax.population_count(words)) * (G // N_BANDS_TILES) * G
+        jax.lax.population_count(words)) * (G // NB) * G
 
     # run key (unique: a (ti, tj) pair lives in exactly one superpair):
     # ti(16b) << 13 | run; run = tj >> log2(R) < 8192 for T < 2^16
@@ -431,9 +467,11 @@ def _runs_from_bits(bits, si, sj, SS: int, G: int, W: int, S_cap: int,
     return a_idx, run_idx, bm_grp, nsteps, num_checks, overflow
 
 
-@partial(jax.jit, static_argnames=("W2", "S2_cap", "E2_cap", "T_pad", "R"))
+@partial(jax.jit, static_argnames=("W2", "S2_cap", "E2_cap", "T_pad",
+                                   "R", "NB"))
 def _regroup_emit_runs(a_idx, run_idx, bm_words, counts, W2: int,
-                       S2_cap: int, E2_cap: int, T_pad: int, R: int):
+                       S2_cap: int, E2_cap: int, T_pad: int, R: int,
+                       NB: int = 4):
     """Regroup the (tile) pairs with nonzero counts for the emit kernel
     (payload ``tj | band << 16 | cnt << 20``, exactly like _regroup_emit).
 
@@ -468,12 +506,21 @@ def _regroup_emit_runs(a_idx, run_idx, bm_words, counts, W2: int,
     E = E2_cap * R
     ti_flat = jnp.repeat(ti_r, R)
     t = jnp.arange(E, dtype=jnp.int32) % R
-    if len(words_r) == 1:
-        wsel = jnp.repeat(words_r[0], R)
+    TPW = 32 // NB
+    wsel = jnp.repeat(words_r[0], R)
+    for q in range(1, len(words_r)):
+        wsel = jnp.where(t // TPW == q, jnp.repeat(words_r[q], R), wsel)
+    bits_nb = (wsel >> (NB * (t % TPW))) & ((1 << NB) - 1)
+    # fold the NB fine bands to the emit kernel's 4 coarse (G/4-row)
+    # bands: coarse band c is live iff any of its NB // 4 fine bands is
+    gsz = NB // 4
+    if gsz == 1:
+        band4 = bits_nb
     else:
-        wsel = jnp.where(t < 8, jnp.repeat(words_r[0], R),
-                         jnp.repeat(words_r[1], R))
-    band4 = (wsel >> (4 * (t % 8))) & 0xF
+        band4 = jnp.zeros_like(bits_nb)
+        for c in range(4):
+            live_c = ((bits_nb >> (c * gsz)) & ((1 << gsz) - 1)) != 0
+            band4 = band4 | (live_c.astype(jnp.int32) << c)
     tj = jnp.repeat(base_r, R) * R + t
     cnt = cnt_r.reshape(E)
     el = jnp.arange(E, dtype=jnp.int32)
@@ -487,12 +534,10 @@ def _regroup_emit_runs(a_idx, run_idx, bm_words, counts, W2: int,
     return a_idx2, b_idx2, nsteps2, over2
 
 
-def _tiled_fields(bvh: BVH, G: int):
+def _tiled_fields(bvh: BVH, G: int, NB: int = 4):
     """Tile the sorted leaf fields to (T, G) plus padded tile AABBs and
-    per-(G/N_BANDS)-leaf sub-band AABBs (tuples of (T, N_BANDS), used by
-    the phase-1b band-bit kernel, ops/subtile.py)."""
-    from ..ops.tile_contact import N_BANDS
-
+    per-(G/NB)-leaf sub-band AABBs (tuples of (T, NB), used by the
+    phase-1b band-bit kernel, ops/subtile.py)."""
     vol = bvh.leaves.volume
     n = bvh.num_leaves
     T = -(-n // G)
@@ -521,10 +566,8 @@ def _tiled_fields(bvh: BVH, G: int):
     tile_lo = tuple(b.min(axis=1) for b in blos)
     tile_up = tuple(b.max(axis=1) for b in bups)
     # ±inf (not NaN) padding keeps partial trailing sub-bands exact
-    sub_lo = tuple(b.reshape(T, N_BANDS, G // N_BANDS).min(axis=2)
-                   for b in blos)
-    sub_up = tuple(b.reshape(T, N_BANDS, G // N_BANDS).max(axis=2)
-                   for b in bups)
+    sub_lo = tuple(b.reshape(T, NB, G // NB).min(axis=2) for b in blos)
+    sub_up = tuple(b.reshape(T, NB, G // NB).max(axis=2) for b in bups)
     return fields, sphere, tile_lo, tile_up, sub_lo, sub_up, T
 
 
@@ -667,8 +710,9 @@ def traverse_tiles_fixed(bvh: BVH, capacity: int, *,
     if interpret is None:
         interpret = _use_interpret()
 
+    NB = alg.bands
     fields, sphere, tile_lo, tile_up, sub_lo, sub_up, T = \
-        _tiled_fields(bvh, G)
+        _tiled_fields(bvh, G, NB)
     if T >= 1 << 16:
         raise ValueError("tile count exceeds 65536; raise the tile size")
     if pair_capacity is None:
@@ -692,16 +736,17 @@ def traverse_tiles_fixed(bvh: BVH, capacity: int, *,
         # append length / flush cursor) is entirely scalar-prefetch-driven,
         # streaming contacts dense to HBM
         R = alg.run_r
-        # half-size chunks: the run path prefetches 2-3 (CHUNK * W,) int32
-        # arrays (run indices + band words) and SMEM holds 1 MB total
+        # smaller chunks: the run path prefetches the run indices plus
+        # R * NB // 32 band-word arrays per step slot, and SMEM holds 1 MB
         S_cap, CHUNK = _step_caps(pair_capacity // W + T)
-        if CHUNK > 1 << 13:
-            CHUNK = 1 << 13
+        ch_cap = _run_chunk_cap(W, R, NB)
+        if CHUNK > ch_cap:
+            CHUNK = ch_cap
             S_cap = -(-S_cap // CHUNK) * CHUNK
         pad_run = (-(-T // R) * R) // R
         a_idx, run_idx, bm_grp, nsteps, num_checks, pair_overflow = \
             _phase1_tile_runs(tile_lo, tile_up, sub_lo, sub_up, G,
-                              pair_capacity, W, S_cap, R, pad_run,
+                              pair_capacity, W, S_cap, R, pad_run, NB,
                               interpret=interpret)
         mask_kind = "sphere" if sphere else "box"
         cnt_parts = []
@@ -715,7 +760,7 @@ def traverse_tiles_fixed(bvh: BVH, capacity: int, *,
                     tuple(w[start * W:(start + CHUNK) * W]
                           for w in bm_grp),
                     ns_c.reshape(1).astype(jnp.int32), fields,
-                    mask_kind=mask_kind, G=G, W=W, R=R,
+                    mask_kind=mask_kind, G=G, W=W, R=R, NB=NB,
                     dedup=True, interpret=interpret)
 
             # generous S_cap leaves whole chunks dead on typical scenes;
@@ -737,7 +782,7 @@ def traverse_tiles_fixed(bvh: BVH, capacity: int, *,
         S2_cap, CHUNK2 = _step_caps(T + capacity // (8 * W2))
         E2_cap = max(4096, capacity // 8)
         a_idx2, b_idx2, nsteps2, over2 = _regroup_emit_runs(
-            a_idx, run_idx, bm_grp, counts, W2, S2_cap, E2_cap, T, R)
+            a_idx, run_idx, bm_grp, counts, W2, S2_cap, E2_cap, T, R, NB)
         cap_overflow = (nsteps2 > S2_cap) | over2
         parts = []
         for start in range(0, S2_cap, CHUNK2):
@@ -902,6 +947,7 @@ def _phase1_cross_pairs(tlo1, tup1, asub_lo, asub_up, tlo2, tup2,
 
     # level B (phase 1b): bvh1-sub-band bits vs bvh2 tiles, full grid
     from ..ops.subtile import subtile_band_bits
+    asub_lo, asub_up = _fold_sub4(asub_lo, asub_up)
     bits = subtile_band_bits(
         asub_lo, asub_up, tlo2, tup2, si, sj,
         nsp.reshape(1).astype(jnp.int32), Ta=T1, Tb=T2, triangle=False,
@@ -928,10 +974,11 @@ def _phase1_cross_pairs(tlo1, tup1, asub_lo, asub_up, tlo2, tup2,
 
 
 @partial(jax.jit, static_argnames=("G", "P_cap", "W", "S_cap", "R",
-                                   "pad_run", "interpret"))
+                                   "pad_run", "NB", "interpret"))
 def _phase1_cross_runs(tlo1, tup1, asub_lo, asub_up, tlo2, tup2, G: int,
                        P_cap: int, W: int, S_cap: int, R: int,
-                       pad_run: int, interpret: Optional[bool] = None):
+                       pad_run: int, NB: int = 4,
+                       interpret: Optional[bool] = None):
     """Cross-BVH counterpart of :func:`_phase1_tile_runs`: overlapping
     (tile-of-bvh1, aligned run-of-bvh2-tiles) with per-tile band words,
     W-grouped for the run-block count kernel.  Full S1 x S2 grid, no
@@ -979,10 +1026,11 @@ def _phase1_cross_runs(tlo1, tup1, asub_lo, asub_up, tlo2, tup2, G: int,
     bits = subtile_band_bits(
         asub_lo, asub_up, tlo2, tup2, si, sj,
         jnp.minimum(nsp, SP_cap).reshape(1).astype(jnp.int32),
-        Ta=T1, Tb=T2, triangle=False, interpret=interpret)[:, :, :SS]
+        Ta=T1, Tb=T2, triangle=False, n_bands=NB,
+        interpret=interpret)[:, :, :SS]
 
     a_idx, run_idx, bm_grp, nsteps, num_checks, ov2 = _runs_from_bits(
-        bits, si, sj, SS, G, W, S_cap, R, pad_run)
+        bits, si, sj, SS, G, W, S_cap, R, pad_run, NB)
     return a_idx, run_idx, bm_grp, nsteps, num_checks, overflow | ov2
 
 
@@ -1011,7 +1059,9 @@ def traverse_tiles_pair_fixed(bvh1: BVH, bvh2: BVH, capacity: int, *,
         raise NotImplementedError(
             "tile pair traversal requires matching leaf volume kinds")
 
-    f1, sphere, tlo1, tup1, asub_lo, asub_up, T1 = _tiled_fields(bvh1, G)
+    NB = alg.bands
+    f1, sphere, tlo1, tup1, asub_lo, asub_up, T1 = \
+        _tiled_fields(bvh1, G, NB)
     f2, _, tlo2, tup2, _, _, T2 = _tiled_fields(bvh2, G)
     if max(T1, T2) >= 1 << 16:
         raise ValueError("tile count exceeds 65536; raise the tile size")
@@ -1035,13 +1085,14 @@ def traverse_tiles_pair_fixed(bvh1: BVH, bvh2: BVH, capacity: int, *,
         from ..ops.tile_contact import tile_group_emit, tile_run_counts
         R = alg.run_r
         S_cap, CHUNK = _step_caps(pair_capacity // W + T1)
-        if CHUNK > 1 << 13:
-            CHUNK = 1 << 13
+        ch_cap = _run_chunk_cap(W, R, NB)
+        if CHUNK > ch_cap:
+            CHUNK = ch_cap
             S_cap = -(-S_cap // CHUNK) * CHUNK
         pad_run = (-(-T2 // R) * R) // R
         a_idx, run_idx, bm_grp, nsteps, num_checks, pair_overflow = \
             _phase1_cross_runs(tlo1, tup1, asub_lo, asub_up, tlo2, tup2,
-                               G, pair_capacity, W, S_cap, R, pad_run,
+                               G, pair_capacity, W, S_cap, R, pad_run, NB,
                                interpret=interpret)
         cnt_parts = []
         for start in range(0, S_cap, CHUNK):
@@ -1054,7 +1105,7 @@ def traverse_tiles_pair_fixed(bvh1: BVH, bvh2: BVH, capacity: int, *,
                     tuple(w[start * W:(start + CHUNK) * W]
                           for w in bm_grp),
                     ns_c.reshape(1).astype(jnp.int32), f1, f2,
-                    mask_kind=mask_kind, G=G, W=W, R=R,
+                    mask_kind=mask_kind, G=G, W=W, R=R, NB=NB,
                     dedup=False, interpret=interpret)
 
             cnt_parts.append(jax.lax.cond(
@@ -1068,7 +1119,7 @@ def traverse_tiles_pair_fixed(bvh1: BVH, bvh2: BVH, capacity: int, *,
         S2_cap, CHUNK2 = _step_caps(T1 + capacity // (8 * W2))
         E2_cap = max(4096, capacity // 8)
         a_idx2, b_idx2, nsteps2, over2 = _regroup_emit_runs(
-            a_idx, run_idx, bm_grp, counts, W2, S2_cap, E2_cap, T2, R)
+            a_idx, run_idx, bm_grp, counts, W2, S2_cap, E2_cap, T2, R, NB)
         cap_overflow = (nsteps2 > S2_cap) | over2
         parts = []
         for start in range(0, S2_cap, CHUNK2):

@@ -118,3 +118,27 @@ def test_ray_tiles_more_rays_than_leaves():
     ref = contacts_set(traverse_rays(bvh, p, d))
     got = contacts_set(traverse_rays_tiles(bvh, p, d))
     assert got == ref
+
+
+def test_ray_tiles_fine_bands():
+    """bands=16 on the two-phase ray path must match the walk exactly
+    (finer ray sub-bands only shrink the tested superset)."""
+    from implicitbvh_tpu.traverse.ray_tiles import traverse_rays_tiles_fixed
+    from implicitbvh_tpu.raytrace import traverse_rays_fixed
+    rng = np.random.default_rng(21)
+    n, nrays = 400, 96
+    xs = (rng.random((n, 3)) * 8).astype(np.float32)
+    rs = (rng.random(n) * 0.3 + 0.05).astype(np.float32)
+    sp = ib.BSphere(tuple(jnp.asarray(xs[:, k]) for k in range(3)),
+                    jnp.asarray(rs))
+    bvh = ib.build(sp, ib.BBox)
+    p = jnp.asarray((rng.random((3, nrays)) * 8).astype(np.float32))
+    d = jnp.asarray((rng.random((3, nrays)) - 0.5).astype(np.float32))
+    wt, wc = traverse_rays_fixed(bvh, p, d, capacity=4096)
+    walk = {tuple(map(int, r)) for r in np.asarray(wc)[:int(wt)]}
+    alg = TileTraversal(tile=32, row_cap=16, pair_cap=128, bands=16)
+    total, contacts, ov, _nc = traverse_rays_tiles_fixed(
+        bvh, p, d, capacity=1024, alg=alg)
+    assert int(ov) == 0
+    got = {tuple(map(int, r)) for r in np.asarray(contacts)[:int(total)]}
+    assert got == walk

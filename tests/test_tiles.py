@@ -235,3 +235,37 @@ def test_kernel_decode_high_tile_index():
     gjs = sorted(int(v) for v in slots[0][seg:seg + G])
     assert gis == [ti * G + k for k in range(G)]
     assert gjs == [tj * G + k for k in range(G)]
+
+
+def test_tiles_fine_bands_self_and_pair():
+    """bands=8/16 (finer phase-1b sub-band masks; ops/subtile.py) must not
+    change any contact set — band boxes cover all leaves, so finer bands
+    only shrink the tested superset (conservative, like the tile pass)."""
+    from implicitbvh_tpu.traverse.tiles import (traverse_tiles_fixed,
+                                                traverse_tiles_pair_fixed)
+    xs, rs, sp = spheres(300, 12)
+    bf = brute_force(xs, rs)
+    bvh = ib.build(sp, ib.BBox)
+    checks = {}
+    for nb in (8, 16):
+        alg = TileTraversal(tile=32, row_cap=16, pair_cap=128, bands=nb)
+        total, contacts, ov, nc = traverse_tiles_fixed(bvh, 1024, alg=alg)
+        assert int(ov) == 0
+        got = {tuple(map(int, r)) for r in np.asarray(contacts)[:int(total)]}
+        assert got == bf, nb
+        checks[nb] = int(nc)
+    # finer bands must never test MORE candidates
+    assert checks[16] <= checks[8]
+
+    xs2, rs2, sp2 = spheres(90, 13)
+    d2 = ((xs[:, None, :] - xs2[None, :, :]) ** 2).sum(-1)
+    rr = (rs[:, None] + rs2[None, :]) ** 2
+    bf2 = {(i + 1, j + 1) for i in range(300) for j in range(90)
+           if d2[i, j] <= rr[i, j]}
+    b2 = ib.build(sp2, ib.BBox)
+    alg = TileTraversal(tile=32, row_cap=16, pair_cap=128, bands=16)
+    total, contacts, ov, _nc = traverse_tiles_pair_fixed(bvh, b2, 1024,
+                                                         alg=alg)
+    assert int(ov) == 0
+    got = {tuple(map(int, r)) for r in np.asarray(contacts)[:int(total)]}
+    assert got == bf2
