@@ -481,9 +481,15 @@ def _run_count_kernel(mask_kind: str, G: int, W: int, R: int, NB: int,
     branches and more prefetched words for proportionally less dead mask
     work (phase 1b computes the bits, ops/subtile.py).
 
-    Output: (1, W * R, 128) f32 rows of per-tile *lane-partial* counts
-    (sum over mask sublanes only) — the XLA caller reduces lanes, so the
-    kernel has no cross-lane reduction and no vector->scalar syncs at all.
+    Output: (1, W * R // 4, 128) int32 rows of per-tile *lane-partial*
+    counts (sum over mask sublanes only), four pairs packed per word in
+    8-bit slots (slot = k %% 4, row = k // 4; a pair's per-lane count is
+    <= G = 128 < 256, so slots never carry — slot 3 may wrap into the
+    sign bit, which the caller's arithmetic-shift+mask unpack reads back
+    exactly).  The XLA caller unpacks and reduces lanes, so the kernel
+    has no cross-lane reduction and no vector->scalar syncs at all; the
+    packing cuts the output HBM traffic (written here, re-read by the
+    reduce) 4x.
     """
     TPW = 32 // NB             # tiles per band word
     NW = R // TPW
@@ -494,13 +500,13 @@ def _run_count_kernel(mask_kind: str, G: int, W: int, R: int, NB: int,
     refs = prefetch_and_refs[3 + NW:]
     aref = refs[0]
     brefs = refs[1:1 + W]
-    out = refs[1 + W]          # (1, W * R, 128) f32 lane-partial counts
+    out = refs[1 + W]          # (1, W * R // 4, 128) packed count words
     BH = G // NB
 
     s = pl.program_id(0)
     step_valid = s < nsteps_ref[0]
 
-    out[0, :, :] = jnp.zeros((W * R, 128), jnp.float32)
+    out[0, :, :] = jnp.zeros((W * R // 4, 128), jnp.int32)
 
     @pl.when(step_valid)
     def _():
@@ -538,8 +544,10 @@ def _run_count_kernel(mask_kind: str, G: int, W: int, R: int, NB: int,
                                             jax.lax.broadcasted_iota(
                                                 jnp.int32, (BH, G), 1))
                                     m = m & (gj_b > gi_b)
-                                out[0, k, 0:G] = out[0, k, 0:G] + jnp.sum(
-                                    m.astype(jnp.float32), axis=0)
+                                out[0, k // 4, 0:G] = (
+                                    out[0, k // 4, 0:G] + jnp.sum(
+                                        m.astype(jnp.int32), axis=0)
+                                    * (1 << (8 * (k % 4))))
 
 
 @functools.partial(
@@ -570,6 +578,7 @@ def tile_run_counts(a_idx, b_idx, bm_words, nsteps, a_fields,
     assert len(a_fields) == Fa and len(b_fields) == Fb, \
         (mask_kind, len(a_fields), len(b_fields))
     assert NB in (4, 8, 16) and G % NB == 0, (NB, G)
+    assert (W * R) % 4 == 0, (W, R)   # 4 pairs pack per output word
     TPW = 32 // NB
     assert R % TPW == 0, (R, NB)
     NW = R // TPW
@@ -617,7 +626,7 @@ def tile_run_counts(a_idx, b_idx, bm_words, nsteps, a_fields,
         grid=(S_cap,),
         in_specs=[a_spec] + [b_spec(w) for w in range(W)],
         out_specs=[
-            pl.BlockSpec((1, W * R, 128), lambda s, *_: (s, 0, 0)),
+            pl.BlockSpec((1, W * R // 4, 128), lambda s, *_: (s, 0, 0)),
         ],
     )
 
@@ -627,14 +636,17 @@ def tile_run_counts(a_idx, b_idx, bm_words, nsteps, a_fields,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((S_cap, W * R, 128), jnp.float32),
+            jax.ShapeDtypeStruct((S_cap, W * R // 4, 128), jnp.int32),
         ],
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(a_idx, b_idx, *bm_words, nsteps, a_packed, *([b_packed] * W))
-    # lane reduction in XLA (exact: counts <= G*G < 2^24 in f32)
-    return out.sum(axis=2).astype(jnp.int32).reshape(S_cap * W * R)
+    # unpack the four 8-bit slots (arithmetic shift + mask reads slot 3's
+    # sign-bit wrap back exactly), then reduce lanes in XLA
+    slots = [((out >> (8 * q)) & 0xFF).sum(axis=2, dtype=jnp.int32)
+             for q in range(4)]
+    return jnp.stack(slots, axis=-1).reshape(S_cap * W * R)
 
 
 def _group_emit_kernel(mask_kind: str, G: int, W: int, ROW_CAP: int,
