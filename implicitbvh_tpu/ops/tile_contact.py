@@ -463,7 +463,7 @@ def _stream_flush(stage_gi, stage_gj, gi_hbm, gj_hbm, sems, cur_ref,
 
 
 def _run_count_kernel(mask_kind: str, G: int, W: int, R: int, NB: int,
-                      dedup: bool, *prefetch_and_refs):
+                      PB: int, dedup: bool, *prefetch_and_refs):
     """Count kernel over aligned b-tile *runs*: one (R, 8, G) DMA covers R
     consecutive b tiles.
 
@@ -528,7 +528,9 @@ def _run_count_kernel(mask_kind: str, G: int, W: int, R: int, NB: int,
 
                     @pl.when(bm_t != 0)
                     def _(t=t, bm_t=bm_t, w=w, base=base):
-                        b_blk = brefs[w][t]
+                        b_blk = brefs[w][t // PB]
+                        if PB == 2:   # two tiles per block, 4 rows each
+                            b_blk = b_blk[(t % 2) * 4:(t % 2) * 4 + 4]
                         tj = base * R + t
                         k = w * R + t
                         for r in range(NB):
@@ -596,6 +598,12 @@ def tile_run_counts(a_idx, b_idx, bm_words, nsteps, a_fields,
         return jnp.concatenate(
             [stackd, jnp.full((1, 8, G), jnp.nan, stackd.dtype)], axis=0)
 
+    # Fb = 4 masks pack TWO b tiles per 8-row block (rows [0, 4) = even
+    # tile, rows [4, 8) = odd tile), halving the b-slab DMA bytes — the
+    # dominant HBM traffic of this kernel (W slabs of (R, 8, G) per step).
+    # The in-loop tile index t is static, so the row offset is static too.
+    PB = 2 if Fb == 4 else 1
+
     def pack_b(fields):
         # pad dim 0 to a multiple of R with NaN tiles, then append one
         # all-NaN pad run (block index T_r // R) for pad b entries
@@ -603,6 +611,12 @@ def tile_run_counts(a_idx, b_idx, bm_words, nsteps, a_fields,
         T_r = -(-T // R) * R
         stackd = jnp.stack(fields, axis=1)
         nf = len(fields)
+        if PB == 2:
+            full = jnp.concatenate(
+                [stackd,
+                 jnp.full((T_r - T + R, nf, G), jnp.nan, stackd.dtype)],
+                axis=0)
+            return full.reshape((T_r + R) // 2, 2 * nf, G)
         if nf < 8:
             stackd = jnp.concatenate(
                 [stackd, jnp.zeros((T, 8 - nf, G), stackd.dtype)], axis=1)
@@ -618,7 +632,7 @@ def tile_run_counts(a_idx, b_idx, bm_words, nsteps, a_fields,
 
     def b_spec(w):
         return pl.BlockSpec(
-            (R, 8, G),
+            (R // PB, 8, G),
             lambda s, ai, bi, *rest, w=w: (bi[s * W + w] & 0xFFFF, 0, 0))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -631,7 +645,7 @@ def tile_run_counts(a_idx, b_idx, bm_words, nsteps, a_fields,
     )
 
     kernel = functools.partial(_run_count_kernel, mask_kind, G, W, R, NB,
-                               dedup)
+                               PB, dedup)
     (out,) = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
