@@ -70,8 +70,9 @@ def main():
     R = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     W2 = int(sys.argv[3]) if len(sys.argv) > 3 else 4
     NB = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+    CW = int(sys.argv[5]) if len(sys.argv) > 5 else 8
     alg = TileTraversal(row_cap=4, pair_cap=32, run_r=R, emit_w=W2,
-                        bands=NB)
+                        bands=NB, count_w=CW)
 
     def s_volumes(q1, q2, q3):
         s = ib.bsphere_from_triangles(q1, q2, q3)
@@ -90,7 +91,7 @@ def main():
         bvh = ib.build(s, ib.BBox)
         return bvh.nodes.los[0].sum() + bvh.leaves.volume.xs[0][0]
 
-    W = 8
+    W = CW
     T_tiles = -(-n_tri // G)
     S_cap, CHUNK = _step_caps(pair_capacity // W + T_tiles)
     ch_cap = _run_chunk_cap(W, R, NB)

@@ -232,7 +232,7 @@ def sharded_tile_self_contact(mesh: Mesh, bvh: BVH,
     if T >= 1 << 16:
         raise ValueError("tile count exceeds 65536; raise the tile size")
     pair_capacity = _pair_capacity_for(T)
-    W = 8
+    W = alg.count_w
     S_loc, CHUNK = _step_caps(-(-(pair_capacity // W + T) // n_dev))
     ch_cap = _run_chunk_cap(W, R, NB)
     if CHUNK > ch_cap:

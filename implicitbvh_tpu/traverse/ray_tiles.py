@@ -257,7 +257,7 @@ def traverse_rays_tiles_fixed(bvh: BVH, points, directions, capacity: int, *,
     if T >= 1 << 16 or RT >= 1 << 16:
         raise ValueError("tile count exceeds 65536; raise the tile size")
 
-    W = 8
+    W = alg.count_w
     if pair_capacity is None:
         # measured density: ~420 candidate leaf tiles per 128-ray block for
         # fully random rays (growth wrapper covers heavier scenes)

@@ -47,6 +47,9 @@ class TileTraversal(TraversalAlgorithm):
     - ``run_r``: aligned b-tile run length for the two-phase count kernel
       (8 or 16; 16 halves the b-DMA count at ~28%% more fetched-but-dead
       tiles on 1M scenes).
+    - ``count_w``: run slots per count-kernel grid step sharing one a-tile
+      DMA (8 or 16; 16 halves the step count at more leader-grouping pad
+      slack and 2x the per-step slab VMEM).
     - ``emit_w``: b-tiles per emit-kernel grid step (shared a-tile DMA).
     - ``bands``: sub-bands per tile for the banded broad phase (4, 8 or
       16): the count kernel's mask quantum is (tile/bands, tile) — finer
@@ -59,6 +62,7 @@ class TileTraversal(TraversalAlgorithm):
     row_cap: int = 4
     pair_cap: int = 32   # 16 overflows on 1M unit-density scenes (measured)
     run_r: int = 8
+    count_w: int = 8
     emit_w: int = 4
     bands: int = 4
 
@@ -741,7 +745,7 @@ def traverse_tiles_fixed(bvh: BVH, capacity: int, *,
     if pair_capacity is None:
         pair_capacity = _pair_capacity_for(T)
 
-    W = 8
+    W = alg.count_w
     narrow_fn = None
     if narrow is not None:
         leaves = bvh.leaves
@@ -1090,7 +1094,7 @@ def traverse_tiles_pair_fixed(bvh1: BVH, bvh2: BVH, capacity: int, *,
         raise ValueError("tile count exceeds 65536; raise the tile size")
     if pair_capacity is None:
         pair_capacity = _pair_capacity_for((T1 + T2) // 2)
-    W = 8
+    W = alg.count_w
     mask_kind = "sphere" if sphere else "box"
 
     narrow_fn = None

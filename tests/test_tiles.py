@@ -157,6 +157,20 @@ def test_tiles_two_phase_r16():
     assert got == bf
 
 
+def test_tiles_two_phase_count_w16():
+    """count_w=16 (16 run slots per count-kernel step sharing one a-tile
+    DMA) must match brute force exactly on the two-phase path."""
+    from implicitbvh_tpu.traverse.tiles import traverse_tiles_fixed
+    xs, rs, sp = spheres(300, 12)
+    bf = brute_force(xs, rs)
+    bvh = ib.build(sp, ib.BBox)
+    alg = TileTraversal(tile=32, row_cap=16, pair_cap=128, count_w=16)
+    total, contacts, ov, _nc = traverse_tiles_fixed(bvh, 1024, alg=alg)
+    assert int(ov) == 0
+    got = {tuple(map(int, r)) for r in np.asarray(contacts)[:int(total)]}
+    assert got == bf
+
+
 def test_tiles_pair_two_phase_path():
     """The two-phase run path for two-BVH traversal (count kernel -> emit
     stream; engages when capacity % 1024 == 0 and pair_cap <= 128) must
