@@ -25,6 +25,7 @@ from typing import NamedTuple, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .morton import (DefaultMortonAlgorithm, ExtendedMortonAlgorithm,
                      morton_encode, morton_encode_extended)
@@ -116,11 +117,18 @@ def _aggregate_bbox_fast(leaves_vol: Volume, tree: ImplicitTree,
 
     TPU formulation: stack the six box coordinates — negating ``up`` so all
     six reduce with ``min`` — into one (6, N) array, pad the leaf level to
-    the perfect-tree width with +inf sentinels (min-neutral, which also
-    reproduces the reference's virtual-right-child copy semantics), and
-    reduce each level with a single ``reshape(6, -1, 2).min(-1)``.  This
-    replaces per-level strided slicing (lane-stride-2 relayouts are ~5x
-    slower on TPU) and runs all coordinates in one op per level.
+    the perfect-tree width with max-finite sentinels (min-neutral, which
+    also reproduces the reference's virtual-right-child copy semantics),
+    and reduce each level pairwise.  Wide levels (>= 256 lanes) split
+    even/odd lanes with ONE 0/1 selection matmul per level — the MXU
+    eats strided-lane selection that is lane-shuffle-bound on the VPU
+    (the measured reshape-min pyramid runs at ~4.2e8 elem/s; see
+    CLAUDE.md build split) — then take an aligned-slice minimum; narrow
+    levels fall back to ``reshape(6, -1, 2).min(-1)``.  The sentinel must
+    be FINITE: a selection matmul's zero terms would turn ``0 * inf``
+    into NaN.  ``precision=HIGHEST`` keeps the f32 products bit-exact
+    (bf16x6 chunks sum back to the exact f32 value; the only other
+    products are x0).
     """
     from .volumes import bbox_of_bsphere
     levels = tree.levels
@@ -137,14 +145,30 @@ def _aggregate_bbox_fast(leaves_vol: Volume, tree: ImplicitTree,
     full = 1 << (levels - 1)
     n = tree.real_leaves
     if full > n:
-        pad = jnp.full((6, full - n), jnp.inf, dtype)
+        pad = jnp.full((6, full - n), jnp.finfo(dtype).max, dtype)
         stacked = jnp.concatenate([stacked, pad], axis=1)
+
+    # (SL, SL) selection: column i picks lane 2i, column SL//2 + i picks
+    # lane 2i + 1 — one matmul splits a block's even/odd lanes
+    SL = 256
+    sel = np.zeros((SL, SL), np.float64)
+    sel[2 * np.arange(SL // 2), np.arange(SL // 2)] = 1.0
+    sel[2 * np.arange(SL // 2) + 1, SL // 2 + np.arange(SL // 2)] = 1.0
+    sel = jnp.asarray(sel, dtype)
 
     per_level = {}
     c = stacked
     stop = max(built_level, 1)
     for lvl in range(levels - 1, stop - 1, -1):
-        c = c.reshape(6, -1, 2).min(-1)
+        if c.shape[1] >= SL:
+            cb = c.reshape(6, -1, SL)
+            out = jax.lax.dot_general(
+                cb, sel, (((2,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST)
+            c = jnp.minimum(out[..., :SL // 2],
+                            out[..., SL // 2:]).reshape(6, -1)
+        else:
+            c = c.reshape(6, -1, 2).min(-1)
         per_level[lvl] = c[:, :tree.level_nodes(lvl)]
 
     chunks = []
