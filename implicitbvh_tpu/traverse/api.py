@@ -91,6 +91,13 @@ def traverse(bvh: BVH,
     Ref: src/traverse/traverse.jl:121-230.  Returns a :class:`BVHTraversal`
     whose ``contacts`` are (i, j) user-index pairs — sorted (min, max) for
     self-contact, tree-order (i1, i2) for pair contact.
+
+    ``start_level`` tunes where the *tree-walking* algorithms (LVT, BFS,
+    DFS) seed their frontier.  The dense-tile engine — the TPU default —
+    does not walk the tree at all (it re-derives coarse bounds from leaf
+    tiles), so an explicit ``start_level`` emits a ``UserWarning`` there
+    rather than being silently dead; pass ``LVTTraversal()``/
+    ``BFSTraversal()`` if start-level control matters.
     """
     bvh2: Optional[BVH] = None
     alg: Optional[TraversalAlgorithm] = None
@@ -110,6 +117,7 @@ def traverse(bvh: BVH,
                               start_level2=start_level2,
                               narrow=narrow, cache=cache, options=options)
 
+    explicit_start = start_level is not None
     if start_level is None:
         start_level = default_start_level(bvh, alg)
     if not (bvh.built_level <= start_level <= bvh.tree.levels):
@@ -133,6 +141,12 @@ def traverse(bvh: BVH,
 
     from .tiles import TileTraversal, traverse_tiles
     if isinstance(alg, TileTraversal):
+        if explicit_start:
+            import warnings
+            warnings.warn(
+                "start_level has no effect on the dense-tile engine (it "
+                "does not walk the tree); use LVTTraversal()/BFSTraversal()"
+                " for start-level control", UserWarning, stacklevel=2)
         return traverse_tiles(bvh, alg=alg, narrow=narrow, cache=cache,
                               options=options)
 
@@ -146,6 +160,7 @@ def traverse(bvh: BVH,
 
 def _traverse_pair(bvh1: BVH, bvh2: BVH, alg: TraversalAlgorithm, *,
                    start_level1, start_level2, narrow, cache, options):
+    explicit_start = start_level1 is not None or start_level2 is not None
     if start_level1 is None:
         start_level1 = default_start_level(bvh1, alg)
     if start_level2 is None:
@@ -156,6 +171,13 @@ def _traverse_pair(bvh1: BVH, bvh2: BVH, alg: TraversalAlgorithm, *,
 
     from .tiles import TileTraversal, traverse_tiles_pair
     if isinstance(alg, TileTraversal):
+        if explicit_start:
+            import warnings
+            warnings.warn(
+                "start_level1/start_level2 have no effect on the dense-tile"
+                " engine (it does not walk the trees); use LVTTraversal()/"
+                "BFSTraversal() for start-level control",
+                UserWarning, stacklevel=3)
         return traverse_tiles_pair(bvh1, bvh2, alg=alg, narrow=narrow,
                                    cache=cache, options=options)
 

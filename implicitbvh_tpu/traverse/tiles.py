@@ -147,11 +147,10 @@ def _ffill_pad_slots(idx, pad: int, W: int):
 
 def _grow_alg(alg: "TileTraversal") -> "TileTraversal":
     """4x slot-cap growth under the VMEM ceilings."""
-    return TileTraversal(tile=alg.tile,
-                         row_cap=min(4 * alg.row_cap, MAX_ROW_CAP),
-                         pair_cap=min(4 * alg.pair_cap, MAX_PAIR_CAP),
-                         run_r=alg.run_r, emit_w=alg.emit_w,
-                         bands=alg.bands)
+    return dataclasses.replace(
+        alg,
+        row_cap=min(4 * alg.row_cap, MAX_ROW_CAP),
+        pair_cap=min(4 * alg.pair_cap, MAX_PAIR_CAP))
 
 
 def _use_interpret() -> bool:
@@ -163,11 +162,10 @@ def _merge_cached_alg(alg: "TileTraversal", cache) -> "TileTraversal":
     traversal hits the compiled program instead of re-growing."""
     prev = getattr(cache, "tile_alg", None) if cache is not None else None
     if isinstance(prev, TileTraversal) and prev.tile == alg.tile:
-        return TileTraversal(tile=alg.tile,
-                             row_cap=max(alg.row_cap, prev.row_cap),
-                             pair_cap=max(alg.pair_cap, prev.pair_cap),
-                             run_r=alg.run_r, emit_w=alg.emit_w,
-                         bands=alg.bands)
+        return dataclasses.replace(
+            alg,
+            row_cap=max(alg.row_cap, prev.row_cap),
+            pair_cap=max(alg.pair_cap, prev.pair_cap))
     return alg
 
 

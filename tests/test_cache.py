@@ -66,6 +66,33 @@ def test_tile_cache_reuse_zero_recompiles():
     assert sorted(map(tuple, t2.contacts_list())) == _brute(vol2)
 
 
+def test_tile_knobs_round_trip_growth_and_merge():
+    """Every TileTraversal knob must survive slot-cap growth and the
+    cache-merge path — round 3 shipped a _grow_alg/_merge_cached_alg pair
+    that silently reset a user's ``count_w`` to the default after any
+    overflow growth or ``cache=`` merge, which made knob sweeps lie."""
+    import dataclasses
+    from implicitbvh_tpu.traverse.tiles import _grow_alg, _merge_cached_alg
+
+    alg = TileTraversal(row_cap=2, pair_cap=16, run_r=16, count_w=16,
+                        emit_w=8, bands=8)
+    grown = _grow_alg(alg)
+    for f in dataclasses.fields(TileTraversal):
+        if f.name in ("row_cap", "pair_cap"):
+            assert getattr(grown, f.name) > getattr(alg, f.name)
+        else:
+            assert getattr(grown, f.name) == getattr(alg, f.name), f.name
+
+    class _FakeCache:
+        tile_alg = grown
+    merged = _merge_cached_alg(alg, _FakeCache())
+    for f in dataclasses.fields(TileTraversal):
+        if f.name in ("row_cap", "pair_cap"):
+            assert getattr(merged, f.name) == getattr(grown, f.name), f.name
+        else:
+            assert getattr(merged, f.name) == getattr(alg, f.name), f.name
+
+
 def test_tile_density_fallback():
     """A scene so dense that one 128x128-leaf block exceeds the VMEM-bounded
     slot caps must still produce the exact contact set (LVT fallback)."""

@@ -69,6 +69,20 @@ def test_differential_start_levels():
         assert set(t.contacts_list()) == bf, sl
 
 
+def test_tile_engine_warns_on_explicit_start_level():
+    """The tile engine does not walk the tree, so a user-set start_level
+    must warn instead of dying silently (it used to validate-then-ignore)."""
+    from implicitbvh_tpu.traverse.tiles import TileTraversal
+    xs, rs, spheres = random_spheres(100, seed=9)
+    bvh = ib.build(spheres, ib.BBox)
+    with pytest.warns(UserWarning, match="start_level has no effect"):
+        t = traverse(bvh, TileTraversal(), start_level=2)
+    assert set(t.contacts_list()) == brute_force(xs, rs)
+    with pytest.warns(UserWarning, match="no effect on the dense-tile"):
+        traverse(bvh, ib.build(spheres, ib.BBox), TileTraversal(),
+                 start_level1=2)
+
+
 def test_differential_built_level():
     xs, rs, spheres = random_spheres(100, seed=7)
     bf = brute_force(xs, rs)
