@@ -212,12 +212,23 @@ def main():
     stages = [("volumes", s_volumes), ("build", s_build),
               ("phase1", s_phase1), ("kernel", s_kernel),
               ("regroup", s_regroup), ("emit", s_emit), ("full", s_full)]
+    # STAGES env var: comma-separated subset for lean A/B runs, e.g.
+    # STAGES=phase1,kernel,full IBVH_ABLATE=nopack4 python profile_1m.py
+    # (deltas are only meaningful between *adjacent selected* stages that
+    # are also adjacent in the pipeline; `full` is always standalone).
+    import os
+    sel = os.environ.get("STAGES")
+    if sel:
+        keep = set(sel.split(","))
+        stages = [st for st in stages if st[0] in keep]
     prev = 0.0
     for name, fn in stages:
         ms = timed(fn, p1, p2, p3)
         print(f"{name:10s} cumulative {ms:8.2f} ms   delta {ms - prev:8.2f} ms",
               flush=True)
         prev = ms
+    if sel:
+        return
     # out-of-chain: build including node aggregation (what a user pays if
     # they consume bvh.nodes — the tile pipeline itself does not)
     ms = timed(s_build_nodes, p1, p2, p3)

@@ -28,11 +28,25 @@ the tile pass simply tests a superset of the tree-pruned candidates.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# A/B ablation switches for measurement only (comma-separated env var read
+# once at import; each ablation run is its own process).  Round 3 shipped
+# three count-kernel levers CPU-validated-only while the tunnel was wedged
+# and the chained count stage regressed 23.2 -> 27.95 ms; these flags let
+# each lever be measured in isolation without git surgery.
+#   nopack4 — disable the 4-pairs-per-int32 packed count words (6f96a74)
+#   nopb2   — disable two-sphere-tiles-per-b-block slabs (a8060f8)
+#   noffill — disable pad-slot block-index forward-fill (16c0548; lives in
+#             traverse/tiles.py, listed here for one source of truth)
+ABLATE = frozenset(
+    s for s in os.environ.get("IBVH_ABLATE", "").split(",") if s)
+_PACK = 1 if "nopack4" in ABLATE else 4
 
 
 # Scoped-VMEM budget for the kernels: the default 16 MB limit rejects the
@@ -500,13 +514,13 @@ def _run_count_kernel(mask_kind: str, G: int, W: int, R: int, NB: int,
     refs = prefetch_and_refs[3 + NW:]
     aref = refs[0]
     brefs = refs[1:1 + W]
-    out = refs[1 + W]          # (1, W * R // 4, 128) packed count words
+    out = refs[1 + W]          # (1, W * R // _PACK, 128) packed count words
     BH = G // NB
 
     s = pl.program_id(0)
     step_valid = s < nsteps_ref[0]
 
-    out[0, :, :] = jnp.zeros((W * R // 4, 128), jnp.int32)
+    out[0, :, :] = jnp.zeros((W * R // _PACK, 128), jnp.int32)
 
     @pl.when(step_valid)
     def _():
@@ -546,10 +560,10 @@ def _run_count_kernel(mask_kind: str, G: int, W: int, R: int, NB: int,
                                             jax.lax.broadcasted_iota(
                                                 jnp.int32, (BH, G), 1))
                                     m = m & (gj_b > gi_b)
-                                out[0, k // 4, 0:G] = (
-                                    out[0, k // 4, 0:G] + jnp.sum(
+                                out[0, k // _PACK, 0:G] = (
+                                    out[0, k // _PACK, 0:G] + jnp.sum(
                                         m.astype(jnp.int32), axis=0)
-                                    * (1 << (8 * (k % 4))))
+                                    * (1 << (8 * (k % _PACK))))
 
 
 @functools.partial(
@@ -580,7 +594,7 @@ def tile_run_counts(a_idx, b_idx, bm_words, nsteps, a_fields,
     assert len(a_fields) == Fa and len(b_fields) == Fb, \
         (mask_kind, len(a_fields), len(b_fields))
     assert NB in (4, 8, 16) and G % NB == 0, (NB, G)
-    assert (W * R) % 4 == 0, (W, R)   # 4 pairs pack per output word
+    assert (W * R) % _PACK == 0, (W, R)   # _PACK pairs pack per output word
     TPW = 32 // NB
     assert R % TPW == 0, (R, NB)
     NW = R // TPW
@@ -602,7 +616,7 @@ def tile_run_counts(a_idx, b_idx, bm_words, nsteps, a_fields,
     # tile, rows [4, 8) = odd tile), halving the b-slab DMA bytes — the
     # dominant HBM traffic of this kernel (W slabs of (R, 8, G) per step).
     # The in-loop tile index t is static, so the row offset is static too.
-    PB = 2 if Fb == 4 else 1
+    PB = 2 if (Fb == 4 and "nopb2" not in ABLATE) else 1
 
     def pack_b(fields):
         # pad dim 0 to a multiple of R with NaN tiles, then append one
@@ -640,7 +654,7 @@ def tile_run_counts(a_idx, b_idx, bm_words, nsteps, a_fields,
         grid=(S_cap,),
         in_specs=[a_spec] + [b_spec(w) for w in range(W)],
         out_specs=[
-            pl.BlockSpec((1, W * R // 4, 128), lambda s, *_: (s, 0, 0)),
+            pl.BlockSpec((1, W * R // _PACK, 128), lambda s, *_: (s, 0, 0)),
         ],
     )
 
@@ -650,12 +664,14 @@ def tile_run_counts(a_idx, b_idx, bm_words, nsteps, a_fields,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((S_cap, W * R // 4, 128), jnp.int32),
+            jax.ShapeDtypeStruct((S_cap, W * R // _PACK, 128), jnp.int32),
         ],
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(a_idx, b_idx, *bm_words, nsteps, a_packed, *([b_packed] * W))
+    if _PACK == 1:     # ablation path: plain per-pair rows
+        return out.sum(axis=2, dtype=jnp.int32).reshape(S_cap * W * R)
     # unpack the four 8-bit slots (arithmetic shift + mask reads slot 3's
     # sign-bit wrap back exactly), then reduce lanes in XLA
     slots = [((out >> (8 * q)) & 0xFF).sum(axis=2, dtype=jnp.int32)

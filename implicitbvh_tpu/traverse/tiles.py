@@ -139,6 +139,9 @@ def _ffill_pad_slots(idx, pad: int, W: int):
     real index makes pad-slot DMAs free.  Lanes before their first real
     entry keep the pad index (one NaN-block fetch, then skipped on each
     repeat)."""
+    from ..ops.tile_contact import ABLATE
+    if "noffill" in ABLATE:
+        return idx
     x = idx.reshape(-1, W)
     step = jnp.arange(x.shape[0], dtype=jnp.int32)[:, None]
     src = jax.lax.cummax(jnp.where(x != pad, step, 0), axis=0)
