@@ -127,8 +127,16 @@ def sharded_self_contact(mesh: Mesh, bvh: BVH, capacity_per_device: int,
 
 def sharded_rays(mesh: Mesh, bvh: BVH, points, directions,
                  capacity_per_device: int, start_level: int = 1,
-                 narrow=None, axis: str = AXIS):
+                 narrow=None, axis: str = AXIS, engine: str = "tiles",
+                 alg=None, interpret: Optional[bool] = None):
     """Ray traversal with rays sharded over ``mesh``; (3, N) ray matrices.
+
+    ``engine="tiles"`` (default) runs the dense ray-tile engine per device:
+    each device coherence-sorts its own ray slice and runs the two-phase
+    run pipeline against the replicated leaf tiles — rays are
+    embarrassingly parallel, so the whole pipeline (phase 1 included)
+    scales with mesh size.  ``engine="walk"`` keeps the stackless-walk
+    fallback (any density, no Pallas).
 
     Returns ``(total, contacts, counts, overflow)`` like
     :func:`sharded_self_contact`; ray indices in contacts are *global*
@@ -143,6 +151,37 @@ def sharded_rays(mesh: Mesh, bvh: BVH, points, directions,
     dirs = jnp.asarray(directions, bvh.leaves.volume.dtype)
     p_l = (pts[0], pts[1], pts[2])   # coordinate tuples of (N,) lanes
     d_l = (dirs[0], dirs[1], dirs[2])
+
+    if engine == "tiles":
+        from ..traverse.ray_tiles import traverse_rays_tiles_fixed
+        from ..traverse.tiles import TileTraversal
+        alg = alg or TileTraversal(row_cap=8)
+        cap_dev = capacity_per_device
+        # the emit stream flushes aligned 1024-contact quanta
+        cap_stream = max(1024, -(-cap_dev // 1024) * 1024)
+
+        def local_tiles(bvh_rep, p, d):
+            dev = jax.lax.axis_index(axis)
+            total, contacts, ov, _nc = traverse_rays_tiles_fixed(
+                bvh_rep, jnp.stack(p), jnp.stack(d), cap_stream,
+                alg=alg, narrow=narrow, interpret=interpret)
+            # globalize the 1-based ray indices (column 1; pad rows are 0)
+            off = (dev * per_dev).astype(contacts.dtype)
+            col = contacts[:, 1]
+            contacts = contacts.at[:, 1].set(
+                jnp.where(col > 0, col + off, 0))[:cap_dev]
+            over = (ov > 0) | (total > cap_dev)
+            overflow = jax.lax.psum(over.astype(jnp.int32), axis) > 0
+            return (jax.lax.psum(total, axis), contacts,
+                    total.reshape(1).astype(jnp.int32), overflow)
+
+        fn = shard_map(
+            local_tiles, mesh=mesh,
+            in_specs=(P(), P(axis), P(axis)),
+            out_specs=(P(), P(axis), P(axis), P()),
+            check_vma=False,
+        )
+        return fn(bvh, p_l, d_l)
 
     def local_fn(bvh_rep, p, d):
         idt = bvh_rep.skips.dtype
@@ -188,34 +227,40 @@ def sharded_tile_self_contact(mesh: Mesh, bvh: BVH,
                               capacity_per_device: int, *,
                               alg=None, narrow=None, axis: str = AXIS,
                               interpret: Optional[bool] = None):
-    """Self-contact on the dense-tile engine with *kernel steps* sharded
-    over the mesh — the production multi-chip path (the walk-based
-    :func:`sharded_self_contact` stays as the any-density fallback; it is
-    measured ~50x slower per chip at 65k leaves).
+    """Self-contact on the dense-tile engine with phase 1 AND the kernel
+    grids sharded over the mesh — the production multi-chip path (the
+    walk-based :func:`sharded_self_contact` stays as the any-density
+    fallback; it is measured ~50x slower per chip at 65k leaves).
 
-    Phase 1 (tile pairs + band bits + grouping) runs replicated — it is a
-    small fraction of the traversal — and the grouped-kernel step list is
-    split evenly across devices: each device runs the banded Pallas kernel
-    and contact extraction for its slice of steps against the replicated
-    leaf tiles, so contact work scales with mesh size while only the
-    scalar totals cross the ICI (one psum).
+    Only level A (the dense S x S supertile overlap + compaction — a few
+    hundred microseconds) runs replicated; the *superpair list* it
+    produces is split evenly across devices, and each device runs the
+    whole remaining pipeline on its slice: band-bit kernel, run packing /
+    sort / leader grouping, count kernel, regroup, emit stream, contact
+    extraction — all against the replicated leaf tiles.  A (ti, tj) tile
+    pair lives in exactly one superpair, so per-device contact sets are
+    disjoint and only the scalar totals cross the ICI (one psum).
+    (Round 3 ran all of phase 1 replicated — ~24% of the 1M step, an
+    Amdahl cap of ~3.4x on 8 chips; superpair sharding removes it.)
 
     Returns ``(total, contacts, counts, overflow)`` exactly like
     :func:`sharded_self_contact`: ``contacts`` is
     ``(n_dev * capacity_per_device, 2)`` with each device's valid prefix
     in its slice.
     """
+    from ..ops.subtile import subtile_band_bits
     from ..ops.tile_contact import tile_group_emit, tile_run_counts
     from ..traverse.tiles import (TileTraversal, _finish_contacts,
                                   _merge_streams, _pair_capacity_for,
-                                  _phase1_tile_runs, _regroup_emit_runs,
-                                  _run_chunk_cap, _step_caps,
-                                  _tiled_fields)
+                                  _phase1_superpairs, _regroup_emit_runs,
+                                  _run_chunk_cap, _runs_from_bits,
+                                  _step_caps, _tiled_fields)
 
     alg = alg or TileTraversal()
     G = alg.tile
     R = alg.run_r
     NB = alg.bands
+    SS = 32
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     n_dev = mesh.shape[axis]
@@ -238,25 +283,34 @@ def sharded_tile_self_contact(mesh: Mesh, bvh: BVH,
     if CHUNK > ch_cap:
         CHUNK = ch_cap
         S_loc = -(-S_loc // CHUNK) * CHUNK
-    S_cap = S_loc * n_dev
     pad_run = (-(-T // R) * R) // R
-    # phase 1 replicated (small vs the kernels); the grouped step list is
-    # split evenly across devices — each runs the two-phase run pipeline
-    # (count kernel -> regroup -> emit stream) on its own step slice
-    a_idx, run_idx, bm_grp, nsteps, num_checks, p1_over = _phase1_tile_runs(
-        tile_lo, tile_up, sub_lo, sub_up, G, pair_capacity, W, S_cap, R,
-        pad_run, NB, interpret=interpret)
+    # level A replicated (cheap); superpairs dealt ROUND-ROBIN to devices
+    # (device d takes superpairs d, d + n_dev, ...): the compacted list is
+    # ordered row-major, so contiguous slices would pile the dense
+    # diagonal-region superpairs onto the low devices — striping balances
+    # live-run density and still keeps each device's valid entries a
+    # prefix (global index k * n_dev + d < nsp  <=>  k < ceil((nsp-d)/n)).
+    si, sj, nsp, p1_over = _phase1_superpairs(
+        tile_lo, tile_up, pair_capacity, sp_round=16 * n_dev)
+    SP_loc = si.shape[0] // n_dev
+    si = si.reshape(SP_loc, n_dev).T.reshape(-1)   # device-major
+    sj = sj.reshape(SP_loc, n_dev).T.reshape(-1)
     leaf_index = bvh.leaves.index
     leaves = bvh.leaves
     mask_kind = "sphere" if sphere else "box"
-    NW = len(bm_grp)
 
-    def local_fn(fields_rep, leaf_index_rep, leaves_rep, nsteps_rep,
-                 p1_over_rep, a_loc, b_loc, bm_loc):
+    def local_fn(fields_rep, leaf_index_rep, leaves_rep, tl_rep, tu_rep,
+                 sl_rep, su_rep, nsp_rep, p1_over_rep, si_loc, sj_loc):
         dev = jax.lax.axis_index(axis)
-        b_flat = b_loc.reshape(-1)
-        bm_flat = tuple(bm_loc[:, q, :].reshape(-1) for q in range(NW))
-        ns_done = jnp.clip(nsteps_rep - dev * S_loc, 0, S_loc)
+        nsp_loc = jnp.clip((nsp_rep - dev + n_dev - 1) // n_dev, 0, SP_loc)
+        bits = subtile_band_bits(
+            sl_rep, su_rep, tl_rep, tu_rep, si_loc, sj_loc,
+            nsp_loc.reshape(1).astype(jnp.int32), Ta=T, Tb=T,
+            triangle=True, n_bands=NB, interpret=interpret)[:, :, :SS]
+        a_loc, run_idx, bm_flat, ns_done, _num_checks, p1_ov2 = \
+            _runs_from_bits(bits, si_loc, sj_loc, SS, G, W, S_loc, R,
+                            pad_run, NB)
+        b_flat = run_idx
         cnt_parts = []
         for start in range(0, S_loc, CHUNK):
             ns_c = jnp.clip(ns_done - start, 0, CHUNK)
@@ -311,20 +365,20 @@ def sharded_tile_self_contact(mesh: Mesh, bvh: BVH,
             gi_pos, gj_pos, total_d, leaf_index_rep, narrow_fn, cap_stream)
         contacts_d = contacts_d[:cap_dev]
         over = slot_overflow | cap_overflow | (total_d > cap_dev) \
-            | p1_over_rep
+            | p1_over_rep | p1_ov2
         overflow = jax.lax.psum(over.astype(jnp.int32), axis) > 0
         return (jax.lax.psum(total_d, axis), contacts_d,
                 total_d.reshape(1), overflow)
 
     fn = shard_map(
         local_fn, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(), P(axis), P(axis), P(axis)),
+        in_specs=(P(), P(), P(), P(), P(), P(), P(), P(), P(),
+                  P(axis), P(axis)),
         out_specs=(P(), P(axis), P(axis), P()),
         check_vma=False,
     )
-    bm_stack = jnp.stack([w.reshape(S_cap, W) for w in bm_grp], axis=1)
-    return fn(fields, leaf_index, leaves, nsteps, p1_over,
-              a_idx, run_idx.reshape(S_cap, W), bm_stack)
+    return fn(fields, leaf_index, leaves, tile_lo, tile_up, sub_lo, sub_up,
+              nsp, p1_over, si, sj)
 
 
 def sharded_rebuild_traverse_step(mesh: Mesh, node_kind=BBox,

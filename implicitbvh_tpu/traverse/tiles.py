@@ -189,6 +189,41 @@ def _compact_flat(flat, values, cap, pad=0):
     return out, v.sum()
 
 
+def _phase1_superpairs(tile_lo, tile_up, P_cap: int, sp_round: int = 16):
+    """Level A of phase 1: dense supertile-vs-supertile AABB overlap
+    (upper triangle) compacted to a packed superpair list.
+
+    Cheap (S = T/32 supertiles -> an S x S matrix) and shared by the
+    single-chip phase-1 variants and the multi-chip path, which shards the
+    *superpair list* across devices (``sp_round`` rounds SP_cap up so it
+    splits evenly).  Returns ``(si, sj, nsp, overflow)``.
+    """
+    T = tile_lo[0].shape[0]
+    SS = 32
+    S = -(-T // SS)
+    pad = S * SS - T
+
+    def padt(a, fill):
+        if pad:
+            a = jnp.concatenate([a, jnp.full((pad,), fill, a.dtype)])
+        return a
+
+    tl = tuple(padt(c, jnp.inf) for c in tile_lo)
+    tu = tuple(padt(c, -jnp.inf) for c in tile_up)
+    sup_lo = tuple(c.reshape(S, SS).min(1) for c in tl)
+    sup_up = tuple(c.reshape(S, SS).max(1) for c in tu)
+
+    ovA = _overlap(sup_lo, sup_up, sup_lo, sup_up)
+    ovA &= jax.lax.broadcasted_iota(jnp.int32, (S, S), 0) <= \
+        jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+    # scale with P_cap so the wrapper's growth loop also grows this level
+    SP_cap = max(S * SUPERPAIRS_PER_SUPERTILE, 64, P_cap // 64)
+    SP_cap = -(-SP_cap // sp_round) * sp_round
+    kA = jnp.arange(S * S, dtype=jnp.int32)
+    spacked, nsp = _compact_flat(ovA.reshape(-1), kA, SP_cap)
+    return spacked // S, spacked % S, nsp, nsp > SP_cap
+
+
 @partial(jax.jit, static_argnames=("G", "P_cap", "interpret"))
 def _phase1_tile_pairs(tile_lo, tile_up, sub_lo, sub_up, G: int, P_cap: int,
                        interpret: Optional[bool] = None):
@@ -224,34 +259,10 @@ def _phase1_tile_pairs(tile_lo, tile_up, sub_lo, sub_up, G: int, P_cap: int,
     sub_lo, sub_up = _fold_sub4(sub_lo, sub_up)
     T = tile_lo[0].shape[0]
     SS = 32
-    S = -(-T // SS)
-    pad = S * SS - T
-
-    def padt(a, fill):
-        if pad:
-            a = jnp.concatenate([a, jnp.full((pad,), fill, a.dtype)])
-        return a
-
-    tl = tuple(padt(c, jnp.inf) for c in tile_lo)
-    tu = tuple(padt(c, -jnp.inf) for c in tile_up)
-    tl2 = tuple(c.reshape(S, SS) for c in tl)
-    tu2 = tuple(c.reshape(S, SS) for c in tu)
-    sup_lo = tuple(c.min(1) for c in tl2)
-    sup_up = tuple(c.max(1) for c in tu2)
-
-    # level A: supertile pairs (dense S x S, upper triangle)
-    ovA = _overlap(sup_lo, sup_up, sup_lo, sup_up)
-    ovA &= jax.lax.broadcasted_iota(jnp.int32, (S, S), 0) <= \
-        jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
-    # scale with P_cap so the wrapper's growth loop also grows this level;
-    # multiple of 16 so the level-B mask is mega-tile aligned
-    SP_cap = max(S * SUPERPAIRS_PER_SUPERTILE, 64, P_cap // 64)
-    SP_cap = -(-SP_cap // 16) * 16
-    kA = jnp.arange(S * S, dtype=jnp.int32)
-    spacked, nsp = _compact_flat(ovA.reshape(-1), kA, SP_cap)
-    sp_overflow = nsp > SP_cap
-    si = spacked // S                            # supertile row (SP_cap,)
-    sj = spacked % S
+    # level A: supertile pairs (SP_cap a multiple of 16 keeps the level-B
+    # mask mega-tile aligned)
+    si, sj, nsp, sp_overflow = _phase1_superpairs(tile_lo, tile_up, P_cap)
+    SP_cap = si.shape[0]
 
     # level B (phase 1b): per-pair sub-band bits from the Pallas kernel;
     # triangle (tii <= tjj) and tii/tjj < T validity applied in-kernel
@@ -387,30 +398,8 @@ def _phase1_tile_runs(tile_lo, tile_up, sub_lo, sub_up, G: int, P_cap: int,
     assert R in (8, 16) and G % NB == 0
     T = tile_lo[0].shape[0]
     SS = 32
-    S = -(-T // SS)
-    pad = S * SS - T
-
-    def padt(a, fill):
-        if pad:
-            a = jnp.concatenate([a, jnp.full((pad,), fill, a.dtype)])
-        return a
-
-    tl = tuple(padt(c, jnp.inf) for c in tile_lo)
-    tu = tuple(padt(c, -jnp.inf) for c in tile_up)
-    sup_lo = tuple(c.reshape(S, SS).min(1) for c in tl)
-    sup_up = tuple(c.reshape(S, SS).max(1) for c in tu)
-
-    # level A: supertile pairs (dense S x S, upper triangle)
-    ovA = _overlap(sup_lo, sup_up, sup_lo, sup_up)
-    ovA &= jax.lax.broadcasted_iota(jnp.int32, (S, S), 0) <= \
-        jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
-    SP_cap = max(S * SUPERPAIRS_PER_SUPERTILE, 64, P_cap // 64)
-    SP_cap = -(-SP_cap // 16) * 16
-    kA = jnp.arange(S * S, dtype=jnp.int32)
-    spacked, nsp = _compact_flat(ovA.reshape(-1), kA, SP_cap)
-    overflow = nsp > SP_cap
-    si = spacked // S
-    sj = spacked % S
+    si, sj, nsp, overflow = _phase1_superpairs(tile_lo, tile_up, P_cap)
+    SP_cap = si.shape[0]
 
     from ..ops.subtile import subtile_band_bits
     bits = subtile_band_bits(

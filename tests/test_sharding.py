@@ -70,7 +70,35 @@ def test_sharded_tile_self_contact_matches_single(mesh):
     assert got == bf
 
 
-def test_sharded_rays_matches_single(mesh):
+def test_sharded_tile_phase1_spreads_across_devices(mesh):
+    """Phase 1 is per-device (superpairs dealt round-robin), so a scene
+    with several live supertile pairs must produce contacts on more than
+    one device — round 3 ran phase 1 replicated and split only the kernel
+    steps, capping 8-chip scaling at ~3.4x by Amdahl."""
+    from implicitbvh_tpu.traverse import TileTraversal
+    xs, rs, sp = spheres(2048, 11, scale=16.0)
+    bf = brute_force(xs, rs)
+    bvh = ib.build(sp, ib.BBox)
+    total, out, counts, overflow = sharded_tile_self_contact(
+        mesh, bvh, capacity_per_device=2048,
+        alg=TileTraversal(tile=32, row_cap=8, pair_cap=64))
+    assert not bool(overflow)
+    assert int(total) == len(bf)
+    cnts = np.asarray(counts)
+    assert (cnts > 0).sum() >= 2, cnts
+    got = set()
+    arr = np.asarray(out)
+    for d in range(cnts.shape[0]):
+        for r in arr[d * 2048:d * 2048 + int(cnts[d])]:
+            got.add(tuple(map(int, r)))
+    assert got == bf
+
+
+@pytest.mark.parametrize("engine", ["tiles", "walk"])
+def test_sharded_rays_matches_single(mesh, engine):
+    """Both ray engines: the production per-device ray-tile pipeline
+    (coherence sort + two-phase run kernels per ray slice) and the
+    any-density stackless-walk fallback."""
     rng = np.random.default_rng(1)
     xs, rs, sp = spheres(64, 2)
     p = (rng.random((3, 16)).astype(np.float32) * 8 - 1.5)
@@ -78,7 +106,7 @@ def test_sharded_rays_matches_single(mesh):
     bvh = ib.build(sp, ib.BBox)
     ref = set(ib.traverse_rays(bvh, p, d).contacts_list())
     total, out, counts, overflow = sharded_rays(
-        mesh, bvh, p, d, capacity_per_device=128)
+        mesh, bvh, p, d, capacity_per_device=128, engine=engine)
     assert int(total) == len(ref)
     assert int(jnp.sum(counts)) == len(ref)
     assert not bool(overflow)
