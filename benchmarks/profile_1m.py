@@ -213,7 +213,7 @@ def main():
               ("phase1", s_phase1), ("kernel", s_kernel),
               ("regroup", s_regroup), ("emit", s_emit), ("full", s_full)]
     # STAGES env var: comma-separated subset for lean A/B runs, e.g.
-    # STAGES=phase1,kernel,full IBVH_ABLATE=nopack4 python profile_1m.py
+    # STAGES=phase1,kernel,full IBVH_ABLATE=nopb2 python profile_1m.py
     # (deltas are only meaningful between *adjacent selected* stages that
     # are also adjacent in the pipeline; `full` is always standalone).
     import os

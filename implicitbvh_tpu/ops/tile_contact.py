@@ -40,13 +40,16 @@ from jax.experimental.pallas import tpu as pltpu
 # three count-kernel levers CPU-validated-only while the tunnel was wedged
 # and the chained count stage regressed 23.2 -> 27.95 ms; these flags let
 # each lever be measured in isolation without git surgery.
-#   nopack4 — disable the 4-pairs-per-int32 packed count words (6f96a74)
 #   nopb2   — disable two-sphere-tiles-per-b-block slabs (a8060f8)
 #   noffill — disable pad-slot block-index forward-fill (16c0548; lives in
 #             traverse/tiles.py, listed here for one source of truth)
+# A third round-3 lever — 4-pairs-per-int32 packed count words (6f96a74) —
+# was ablated on-chip in round 4 and REMOVED: it cost 5.2 ms at 1M
+# (count kernel 28.17 -> 23.02 ms chained, full 70.87 -> 65.44) because the
+# shift-multiply accumulate serializes row updates while the 4x HBM saving
+# buys nothing (the kernel is DMA-issue/compute-bound, not bytes-bound).
 ABLATE = frozenset(
     s for s in os.environ.get("IBVH_ABLATE", "").split(",") if s)
-_PACK = 1 if "nopack4" in ABLATE else 4
 
 
 # Scoped-VMEM budget for the kernels: the default 16 MB limit rejects the
@@ -495,15 +498,13 @@ def _run_count_kernel(mask_kind: str, G: int, W: int, R: int, NB: int,
     branches and more prefetched words for proportionally less dead mask
     work (phase 1b computes the bits, ops/subtile.py).
 
-    Output: (1, W * R // 4, 128) int32 rows of per-tile *lane-partial*
-    counts (sum over mask sublanes only), four pairs packed per word in
-    8-bit slots (slot = k %% 4, row = k // 4; a pair's per-lane count is
-    <= G = 128 < 256, so slots never carry — slot 3 may wrap into the
-    sign bit, which the caller's arithmetic-shift+mask unpack reads back
-    exactly).  The XLA caller unpacks and reduces lanes, so the kernel
-    has no cross-lane reduction and no vector->scalar syncs at all; the
-    packing cuts the output HBM traffic (written here, re-read by the
-    reduce) 4x.
+    Output: (1, W * R, 128) int32 rows of per-tile *lane-partial* counts
+    (sum over mask sublanes only).  The XLA caller reduces lanes, so the
+    kernel has no cross-lane reduction and no vector->scalar syncs at
+    all.  (Round 3 packed four pairs per word in 8-bit slots to cut the
+    output HBM traffic 4x; the round-4 on-chip ablation showed the
+    shift-multiply accumulate cost 5.2 ms at 1M while the byte saving
+    bought nothing — the kernel is issue-bound, not bytes-bound.)
     """
     TPW = 32 // NB             # tiles per band word
     NW = R // TPW
@@ -514,13 +515,13 @@ def _run_count_kernel(mask_kind: str, G: int, W: int, R: int, NB: int,
     refs = prefetch_and_refs[3 + NW:]
     aref = refs[0]
     brefs = refs[1:1 + W]
-    out = refs[1 + W]          # (1, W * R // _PACK, 128) packed count words
+    out = refs[1 + W]          # (1, W * R, 128) per-pair lane-count rows
     BH = G // NB
 
     s = pl.program_id(0)
     step_valid = s < nsteps_ref[0]
 
-    out[0, :, :] = jnp.zeros((W * R // _PACK, 128), jnp.int32)
+    out[0, :, :] = jnp.zeros((W * R, 128), jnp.int32)
 
     @pl.when(step_valid)
     def _():
@@ -560,10 +561,9 @@ def _run_count_kernel(mask_kind: str, G: int, W: int, R: int, NB: int,
                                             jax.lax.broadcasted_iota(
                                                 jnp.int32, (BH, G), 1))
                                     m = m & (gj_b > gi_b)
-                                out[0, k // _PACK, 0:G] = (
-                                    out[0, k // _PACK, 0:G] + jnp.sum(
-                                        m.astype(jnp.int32), axis=0)
-                                    * (1 << (8 * (k % _PACK))))
+                                out[0, k, 0:G] = (
+                                    out[0, k, 0:G] + jnp.sum(
+                                        m.astype(jnp.int32), axis=0))
 
 
 @functools.partial(
@@ -594,7 +594,6 @@ def tile_run_counts(a_idx, b_idx, bm_words, nsteps, a_fields,
     assert len(a_fields) == Fa and len(b_fields) == Fb, \
         (mask_kind, len(a_fields), len(b_fields))
     assert NB in (4, 8, 16) and G % NB == 0, (NB, G)
-    assert (W * R) % _PACK == 0, (W, R)   # _PACK pairs pack per output word
     TPW = 32 // NB
     assert R % TPW == 0, (R, NB)
     NW = R // TPW
@@ -654,7 +653,7 @@ def tile_run_counts(a_idx, b_idx, bm_words, nsteps, a_fields,
         grid=(S_cap,),
         in_specs=[a_spec] + [b_spec(w) for w in range(W)],
         out_specs=[
-            pl.BlockSpec((1, W * R // _PACK, 128), lambda s, *_: (s, 0, 0)),
+            pl.BlockSpec((1, W * R, 128), lambda s, *_: (s, 0, 0)),
         ],
     )
 
@@ -664,19 +663,14 @@ def tile_run_counts(a_idx, b_idx, bm_words, nsteps, a_fields,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((S_cap, W * R // _PACK, 128), jnp.int32),
+            jax.ShapeDtypeStruct((S_cap, W * R, 128), jnp.int32),
         ],
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(a_idx, b_idx, *bm_words, nsteps, a_packed, *([b_packed] * W))
-    if _PACK == 1:     # ablation path: plain per-pair rows
-        return out.sum(axis=2, dtype=jnp.int32).reshape(S_cap * W * R)
-    # unpack the four 8-bit slots (arithmetic shift + mask reads slot 3's
-    # sign-bit wrap back exactly), then reduce lanes in XLA
-    slots = [((out >> (8 * q)) & 0xFF).sum(axis=2, dtype=jnp.int32)
-             for q in range(4)]
-    return jnp.stack(slots, axis=-1).reshape(S_cap * W * R)
+    # reduce lanes in XLA (the kernel stays free of cross-lane reductions)
+    return out.sum(axis=2, dtype=jnp.int32).reshape(S_cap * W * R)
 
 
 def _group_emit_kernel(mask_kind: str, G: int, W: int, ROW_CAP: int,
