@@ -206,8 +206,11 @@ def main():
     import numpy as _np
     cl = _np.asarray(contacts[:int(total)])
     assert len(set(map(tuple, cl.tolist()))) == int(total), "duplicate contacts"
-    print(f"# sanity: {int(total)} unique contacts, no overflow",
-          flush=True)
+    # num_checks = live mask bands x band size: divides the kernel stage
+    # into mask-bound vs DMA/step-bound (VPU peak ~1e12 lane-ops/s)
+    print(f"# sanity: {int(total)} unique contacts, no overflow, "
+          f"num_checks {int(_nc):,} (~{int(_nc) * 16 / 1e9:.1f} ms at "
+          f"16 lane-ops/test on a 1e12-op/s VPU)", flush=True)
 
     stages = [("volumes", s_volumes), ("build", s_build),
               ("phase1", s_phase1), ("kernel", s_kernel),
