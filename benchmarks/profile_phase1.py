@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 import implicitbvh_tpu as ib
 from implicitbvh_tpu.traverse.tiles import (
-    SUPERPAIRS_PER_SUPERTILE, _compact_flat, _ffill_pad_slots, _leader_group,
+    SUPERPAIRS_PER_SUPERTILE, _compact_flat, _leader_group,
     _overlap, _pair_capacity_for, _run_chunk_cap, _step_caps, _tiled_fields)
 
 K = 5
@@ -191,15 +191,9 @@ def main():
         return (a_idx.sum().astype(jnp.float32) + grouped[0][0] +
                 nsteps.astype(jnp.float32))
 
-    def s_ffill(q1, q2, q3):
-        a_idx, grouped, nsteps = _grouped(q1, q2, q3)
-        run_idx = _ffill_pad_slots(grouped[0], pad_run, W)
-        return (a_idx.sum().astype(jnp.float32) + run_idx.sum() +
-                grouped[1][0] + nsteps.astype(jnp.float32))
-
     stages = [("fields", s_fields), ("levelA", s_levelA), ("bits", s_bits),
               ("words", s_words), ("compact", s_compact), ("sort", s_sort),
-              ("group", s_group), ("ffill", s_ffill)]
+              ("group", s_group)]
     prev = 0.0
     for name, fn in stages:
         ms = timed(fn, p1, p2, p3)

@@ -41,13 +41,15 @@ from jax.experimental.pallas import tpu as pltpu
 # and the chained count stage regressed 23.2 -> 27.95 ms; these flags let
 # each lever be measured in isolation without git surgery.
 #   nopb2   — disable two-sphere-tiles-per-b-block slabs (a8060f8)
-#   noffill — disable pad-slot block-index forward-fill (16c0548; lives in
-#             traverse/tiles.py, listed here for one source of truth)
-# A third round-3 lever — 4-pairs-per-int32 packed count words (6f96a74) —
-# was ablated on-chip in round 4 and REMOVED: it cost 5.2 ms at 1M
-# (count kernel 28.17 -> 23.02 ms chained, full 70.87 -> 65.44) because the
-# shift-multiply accumulate serializes row updates while the 4x HBM saving
-# buys nothing (the kernel is DMA-issue/compute-bound, not bytes-bound).
+# Two other round-3 levers were ablated on-chip in round 4 and REMOVED:
+#   4-pairs-per-int32 packed count words (6f96a74) cost 5.2 ms at 1M
+#   (count kernel 28.17 -> 23.02 ms chained, full 70.87 -> 65.44): the
+#   shift-multiply accumulate serializes row updates while the 4x HBM
+#   saving buys nothing (kernel is DMA-issue/compute-bound, not bytes).
+#   Pad-slot block-index forward-fill (16c0548) cost 4.2 ms at 1M (full
+#   66.10 -> 61.92 with IBVH_ABLATE=noffill): the XLA cummax+gather in
+#   phase 1 (~7.8 ms attributed) far outweighed the repeated-index DMA
+#   skip in the kernels.
 ABLATE = frozenset(
     s for s in os.environ.get("IBVH_ABLATE", "").split(",") if s)
 

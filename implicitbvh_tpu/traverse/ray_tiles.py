@@ -178,11 +178,8 @@ def _phase1_ray_runs(rfields, tile_lo, tile_up, W: int, S_cap: int,
     g_idx = jax.lax.broadcasted_iota(jnp.int32, (RT, NGT), 1)
     step = goff[:, None] + q // W
     dst = jnp.where(live, step * W + q % W, S_cap * W)
-    from .tiles import _ffill_pad_slots
-    run_idx = _ffill_pad_slots(
-        jnp.full((S_cap * W,), pad_run, jnp.int32).at[
-            dst.reshape(-1)].set(g_idx.reshape(-1), mode="drop"),
-        pad_run, W)
+    run_idx = jnp.full((S_cap * W,), pad_run, jnp.int32).at[
+        dst.reshape(-1)].set(g_idx.reshape(-1), mode="drop")
     bm_words = tuple(
         jnp.zeros((S_cap * W,), jnp.int32).at[
             dst.reshape(-1)].set(words[..., qw].reshape(-1), mode="drop")

@@ -127,27 +127,6 @@ def _fold_sub4(sub_lo, sub_up):
     return lo, up
 
 
-def _ffill_pad_slots(idx, pad: int, W: int):
-    """Replace pad entries of a W-grouped (S_cap * W,) block-index list
-    with the previous step's index in the same slot lane.
-
-    Pad slots (leader-grouping slack: each a-tile's final partial W-group,
-    plus steps beyond ``nsteps``) carry zero band bits / zero counts, so
-    the kernels never touch their data — but the auto-pipeline still
-    issues their block DMA every grid step.  Mosaic skips the copy when a
-    slot's block index equals the previous step's, so repeating the last
-    real index makes pad-slot DMAs free.  Lanes before their first real
-    entry keep the pad index (one NaN-block fetch, then skipped on each
-    repeat)."""
-    from ..ops.tile_contact import ABLATE
-    if "noffill" in ABLATE:
-        return idx
-    x = idx.reshape(-1, W)
-    step = jnp.arange(x.shape[0], dtype=jnp.int32)[:, None]
-    src = jax.lax.cummax(jnp.where(x != pad, step, 0), axis=0)
-    return jnp.take_along_axis(x, src, axis=0).reshape(-1)
-
-
 def _grow_alg(alg: "TileTraversal") -> "TileTraversal":
     """4x slot-cap growth under the VMEM ceilings."""
     return dataclasses.replace(
@@ -473,7 +452,7 @@ def _runs_from_bits(bits, si, sj, SS: int, G: int, W: int, S_cap: int,
     rvalid = jnp.arange(run_cap, dtype=jnp.int32) < nruns
     a_idx, grouped, nsteps = _leader_group(
         ti_r, rvalid, (run_r, *words_s), (pad_run,) + (0,) * NW, W, S_cap)
-    run_idx = _ffill_pad_slots(grouped[0], pad_run, W)
+    run_idx = grouped[0]
     bm_grp = tuple(grouped[1:])
     overflow |= nsteps > S_cap
     return a_idx, run_idx, bm_grp, nsteps, num_checks, overflow
@@ -543,11 +522,6 @@ def _regroup_emit_runs(a_idx, run_idx, bm_words, counts, W2: int,
     payload = tj_c | (band4 << 16) | (jnp.minimum(cnt, 255) << 20)
     a_idx2, (b_idx2,), nsteps2 = _leader_group(
         ti_flat, valid, (payload,), (T_pad,), W2, S2_cap)
-    # forward-fill ONLY the tj field of pad slots (band/cnt stay 0, so the
-    # emit kernel skips them) to spare their block DMAs
-    tj2 = b_idx2 & 0xFFFF
-    b_idx2 = jnp.where(tj2 == T_pad,
-                       _ffill_pad_slots(tj2, T_pad, W2), b_idx2)
     return a_idx2, b_idx2, nsteps2, over2
 
 
