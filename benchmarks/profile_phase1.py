@@ -151,26 +151,20 @@ def main():
         key, wflat, T = _words(q1, q2, q3)
         return key.sum().astype(jnp.float32) + wflat[0][0]
 
-    def _compacted(q1, q2, q3):
+    def _sorted(q1, q2, q3):
         key, wflat, T = _words(q1, q2, q3)
         live = wflat[0] != 0
         for q in range(1, len(wflat)):
             live = live | (wflat[q] != 0)
         run_cap = max(min(S_cap * W, 16384), S_cap * W // 4)
-        key_c, nruns = _compact_flat(live, key.reshape(-1), run_cap, pad=-1)
-        words_c = [_compact_flat(live, wq, run_cap)[0] for wq in wflat]
-        return key_c, words_c, nruns, run_cap
-
-    def s_compact(q1, q2, q3):
-        key_c, words_c, nruns, run_cap = _compacted(q1, q2, q3)
-        return key_c.sum().astype(jnp.float32) + words_c[0][0] + nruns
-
-    def _sorted(q1, q2, q3):
-        key_c, words_c, nruns, run_cap = _compacted(q1, q2, q3)
-        key_u = jax.lax.bitcast_convert_type(key_c, jnp.uint32)
-        sorted_ops = jax.lax.sort((key_u, *words_c), num_keys=1)
-        key_i = jax.lax.bitcast_convert_type(sorted_ops[0], jnp.int32)
-        return key_i, sorted_ops[1:], nruns, run_cap
+        nruns = jnp.sum(live.astype(jnp.int32))
+        key_u = jax.lax.bitcast_convert_type(
+            jnp.where(live, key.reshape(-1), -1), jnp.uint32)
+        sorted_ops = jax.lax.sort((key_u, *wflat), num_keys=1)
+        key_i = jax.lax.bitcast_convert_type(
+            sorted_ops[0][:run_cap], jnp.int32)
+        words_s = tuple(w[:run_cap] for w in sorted_ops[1:])
+        return key_i, words_s, nruns, run_cap
 
     def s_sort(q1, q2, q3):
         key_i, words_s, nruns, run_cap = _sorted(q1, q2, q3)
@@ -192,8 +186,7 @@ def main():
                 nsteps.astype(jnp.float32))
 
     stages = [("fields", s_fields), ("levelA", s_levelA), ("bits", s_bits),
-              ("words", s_words), ("compact", s_compact), ("sort", s_sort),
-              ("group", s_group)]
+              ("words", s_words), ("sortslice", s_sort), ("group", s_group)]
     prev = 0.0
     for name, fn in stages:
         ms = timed(fn, p1, p2, p3)

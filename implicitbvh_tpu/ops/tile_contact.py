@@ -41,6 +41,9 @@ from jax.experimental.pallas import tpu as pltpu
 # and the chained count stage regressed 23.2 -> 27.95 ms; these flags let
 # each lever be measured in isolation without git surgery.
 #   nopb2   — disable two-sphere-tiles-per-b-block slabs (a8060f8)
+#   nomask  — count kernel emits per-band constants instead of computing
+#             the VPU mask (WRONG COUNTS; timing attribution only: the
+#             remainder is DMA issue + grid-step + branch overhead)
 # Two other round-3 levers were ablated on-chip in round 4 and REMOVED:
 #   4-pairs-per-int32 packed count words (6f96a74) cost 5.2 ms at 1M
 #   (count kernel 28.17 -> 23.02 ms chained, full 70.87 -> 65.44): the
@@ -553,6 +556,11 @@ def _run_count_kernel(mask_kind: str, G: int, W: int, R: int, NB: int,
                         for r in range(NB):
                             @pl.when(((bm_t >> r) & 1) != 0)
                             def _(r=r, b_blk=b_blk, tj=tj, k=k):
+                                if "nomask" in ABLATE:
+                                    # timing attribution only: skip the
+                                    # VPU mask, keep DMAs/branches/output
+                                    out[0, k, 0:G] = out[0, k, 0:G] + 1
+                                    return
                                 m = _band_mask(mask_kind, cols, b_blk,
                                                r * BH, BH)
                                 if dedup:

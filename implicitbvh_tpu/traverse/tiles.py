@@ -45,8 +45,11 @@ class TileTraversal(TraversalAlgorithm):
     - ``row_cap``: max contacts of one leaf within one other tile.
     - ``pair_cap``: max contacts within one tile pair.
     - ``run_r``: aligned b-tile run length for the two-phase count kernel
-      (8 or 16; 16 halves the b-DMA count at ~28%% more fetched-but-dead
-      tiles on 1M scenes).
+      (8, 16 or 32 — runs cannot span the 32-tile supertile).  Larger runs
+      trade fetched-but-dead tile bytes (overlappable DMA bandwidth) for
+      fewer b-slab DMA *issues*, the count kernel's measured bottleneck
+      (~130 ns of scalar-core time per copy): at 1M, live runs are
+      64.6k/45.3k/32.6k for R=8/16/32.
     - ``count_w``: run slots per count-kernel grid step sharing one a-tile
       DMA (8 or 16; 16 halves the step count at more leader-grouping pad
       slack and 2x the per-step slab VMEM).
@@ -374,7 +377,7 @@ def _phase1_tile_runs(tile_lo, tile_up, sub_lo, sub_up, G: int, P_cap: int,
     """
     if interpret is None:
         interpret = _use_interpret()
-    assert R in (8, 16) and G % NB == 0
+    assert R in (8, 16, 32) and G % NB == 0
     T = tile_lo[0].shape[0]
     SS = 32
     si, sj, nsp, overflow = _phase1_superpairs(tile_lo, tile_up, P_cap)
@@ -432,21 +435,30 @@ def _runs_from_bits(bits, si, sj, SS: int, G: int, W: int, S_cap: int,
     live = wflat[0] != 0
     for q in range(1, NW):
         live = live | (wflat[q] != 0)
-    # the compaction/sort cap is much tighter than the grouped layout's
-    # S_cap * W slots: live runs measure ~17% of the grouped capacity at
-    # 1M (66k vs 393k), so a 1/4 cap still carries ~1.5x headroom while
-    # the sort and the leader-grouping scans shrink 4x; overflow feeds
-    # the growth loop like every other capacity
+    # the run cap is much tighter than the grouped layout's S_cap * W
+    # slots: live runs measure ~17% of the grouped capacity at 1M (66k vs
+    # 393k), so a 1/4 cap still carries ~1.5x headroom while the
+    # leader-grouping scans shrink 4x; overflow feeds the growth loop
+    # like every other capacity
     run_cap = max(min(S_cap * W, 16384), S_cap * W // 4)
-    key_c, nruns = _compact_flat(live, key.reshape(-1), run_cap, pad=-1)
-    words_c = [_compact_flat(live, wq, run_cap)[0] for wq in wflat]
+    # the sorted-slice below can't exceed the flat run-slot count (small
+    # scenes with large R can have fewer slots than the cap)
+    run_cap = min(run_cap, live.shape[0])
+    nruns = jnp.sum(live.astype(jnp.int32))
     overflow = nruns > run_cap
 
-    # sort to (ti, run) order; pad keys (-1) sort last as uint32
-    key_u = jax.lax.bitcast_convert_type(key_c, jnp.uint32)
-    sorted_ops = jax.lax.sort((key_u, *words_c), num_keys=1)
-    key_i = jax.lax.bitcast_convert_type(sorted_ops[0], jnp.int32)
-    words_s = sorted_ops[1:]
+    # ONE full-size sort replaces cumsum+scatter compaction + a second
+    # sort of the compacted list: dead runs get key -1, which sorts last
+    # as uint32, so the first run_cap slots of the sorted list ARE the
+    # compacted (ti, run)-ordered run list.  On-chip the variadic sort at
+    # this size (~790k x (1 + NW) arrays at 1M) is ~4x cheaper than the
+    # 1 + NW scatter compactions it replaces (8.3 -> ~2 ms measured).
+    key_u = jax.lax.bitcast_convert_type(
+        jnp.where(live, key.reshape(-1), -1), jnp.uint32)
+    sorted_ops = jax.lax.sort((key_u, *wflat), num_keys=1)
+    key_i = jax.lax.bitcast_convert_type(
+        sorted_ops[0][:run_cap], jnp.int32)
+    words_s = tuple(w[:run_cap] for w in sorted_ops[1:])
     ti_r = (key_i >> 13) & 0xFFFF
     run_r = key_i & 0x1FFF
     rvalid = jnp.arange(run_cap, dtype=jnp.int32) < nruns
@@ -980,7 +992,7 @@ def _phase1_cross_runs(tlo1, tup1, asub_lo, asub_up, tlo2, tup2, G: int,
     """
     if interpret is None:
         interpret = _use_interpret()
-    assert R in (8, 16)
+    assert R in (8, 16, 32)
     T1 = tlo1[0].shape[0]
     T2 = tlo2[0].shape[0]
     SS = 32
