@@ -497,16 +497,31 @@ def _regroup_emit_runs(a_idx, run_idx, bm_words, counts, W2: int,
         bm_words = (bm_words,)
     rc = counts.reshape(SW, R)
     run_live = rc.max(axis=1) > 0
-    e_slots, nlive = _compact_flat(
-        run_live, jnp.arange(SW, dtype=jnp.int32), E2_cap)
-    over2 = nlive > E2_cap
-    # gather the live runs' metadata (order-preserving, so ti stays sorted)
-    ti_r = a_idx[jnp.minimum(e_slots // Win, a_idx.shape[0] - 1)]
-    base_r = run_idx[e_slots] & 0xFFFF
-    words_r = [w[e_slots] for w in bm_words]
-    cnt_r = rc[e_slots]                          # (E2_cap, R)
+    nlive = jnp.sum(run_live.astype(jnp.int32))
+    E2c = min(E2_cap, SW)
+    over2 = nlive > E2c
+    # sort-slice compaction (same trick as _runs_from_bits): dead runs get
+    # key -1 (sorts last as uint32), live runs keep their slot index, so
+    # the first E2c slots of the sorted list are the compacted live runs in
+    # slot (= ti-sorted) order.  The counts ride the sort packed 4-per-word
+    # (clamped to the payload's 8-bit field) — this replaces the
+    # cumsum+scatter compaction plus 4-5 row gathers (~0.1e9 elem/s each).
+    rcc = jnp.minimum(rc, 255)
+    bsel = jnp.asarray([1 << (8 * i) for i in range(4)], jnp.int32)
+    cw = [(rcc[:, 4 * q:4 * q + 4] * bsel[None, :]).sum(
+        axis=1, dtype=jnp.int32) for q in range(R // 4)]
+    slot = jnp.arange(SW, dtype=jnp.int32)
+    key_u = jax.lax.bitcast_convert_type(
+        jnp.where(run_live, slot, -1), jnp.uint32)
+    ti_slot = jnp.repeat(a_idx, Win)
+    sorted_ops = jax.lax.sort(
+        (key_u, ti_slot, run_idx, *bm_words, *cw), num_keys=1)
+    ti_r = sorted_ops[1][:E2c]
+    base_r = sorted_ops[2][:E2c] & 0xFFFF
+    words_r = [w[:E2c] for w in sorted_ops[3:3 + len(bm_words)]]
+    cw_r = [w[:E2c] for w in sorted_ops[3 + len(bm_words):]]
     # expand R-wide
-    E = E2_cap * R
+    E = E2c * R
     ti_flat = jnp.repeat(ti_r, R)
     t = jnp.arange(E, dtype=jnp.int32) % R
     TPW = 32 // NB
@@ -525,13 +540,16 @@ def _regroup_emit_runs(a_idx, run_idx, bm_words, counts, W2: int,
             live_c = ((bits_nb >> (c * gsz)) & ((1 << gsz) - 1)) != 0
             band4 = band4 | (live_c.astype(jnp.int32) << c)
     tj = jnp.repeat(base_r, R) * R + t
-    cnt = cnt_r.reshape(E)
+    csel = jnp.repeat(cw_r[0], R)
+    for q in range(1, len(cw_r)):
+        csel = jnp.where(t // 4 == q, jnp.repeat(cw_r[q], R), csel)
+    cnt = (csel >> (8 * (t % 4))) & 0xFF
     el = jnp.arange(E, dtype=jnp.int32)
     valid = (cnt > 0) & (el < nlive * R)
     # dead entries never reach the kernel, but clamp their tj to the pad
     # tile so the payload's 16-bit field can't overflow near T = 2^16
     tj_c = jnp.where(valid, tj, T_pad)
-    payload = tj_c | (band4 << 16) | (jnp.minimum(cnt, 255) << 20)
+    payload = tj_c | (band4 << 16) | (cnt << 20)
     a_idx2, (b_idx2,), nsteps2 = _leader_group(
         ti_flat, valid, (payload,), (T_pad,), W2, S2_cap)
     return a_idx2, b_idx2, nsteps2, over2
