@@ -73,6 +73,42 @@ def main():
         print(f"{name}: n={n} build default={t_def:.2f} ms "
               f"extended={t_ext:.2f} ms", flush=True)
 
+        # traverse-side effect: a better leaf order tightens tile AABBs,
+        # cutting live band tests (num_checks) and the count-kernel time
+        import math
+        from implicitbvh_tpu.traverse import traverse_tiles_fixed
+        from implicitbvh_tpu.traverse.tiles import _pair_capacity_for
+        G = 128
+        T = -(-n // G)
+        pair_capacity = _pair_capacity_for(T)
+        capacity = max(1 << math.ceil(math.log2(n)) - 3, 4096)
+
+        def mk_full(opts):
+            def f(s):
+                bvh = ib.build(s, ib.BBox, options=opts)
+                total, contacts, overflow, _nc = traverse_tiles_fixed(
+                    bvh, capacity, pair_capacity=pair_capacity)
+                return (total.astype(jnp.float32) +
+                        overflow.astype(jnp.float32) * 1e9 +
+                        contacts.sum(dtype=jnp.int32).astype(jnp.float32)
+                        * 1e-9)
+            return f
+
+        def checks(opts):
+            bvh = ib.build(sp, ib.BBox, options=opts)
+            total, _c, ov, nc = traverse_tiles_fixed(
+                bvh, capacity, pair_capacity=pair_capacity)
+            return int(total), int(ov), int(nc)
+
+        for mname, opts in (("default", ib.BVHOptions()),
+                            ("extended", ib.BVHOptions(
+                                morton=ExtendedMortonAlgorithm(bits=32)))):
+            tot, ov, nc = checks(opts)
+            t_full = timed(mk_full(opts), sp)
+            print(f"{name}/{mname}: fused rebuild+contact {t_full:.2f} ms, "
+                  f"{tot} contacts, overflow={ov}, "
+                  f"num_checks {nc:,}", flush=True)
+
 
 if __name__ == "__main__":
     main()
