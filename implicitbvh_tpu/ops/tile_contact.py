@@ -298,27 +298,27 @@ def _pair_body(mask_kind, G, ROW_CAP, CAP_PAIR,
 
     @pl.when(total > 0.0)
     def _():
-        _pair_compact(G, ROW_CAP, CAP_PAIR, ti, tj, mi, gj, total,
+        _pair_compact(G, ROW_CAP, CAP_PAIR, ti, tj, mi, total,
                       meta_lane, out, row)
 
 
-def _pair_compact_rows(G, ROW_CAP, CAP_PAIR, ti, tj, mi, gj, total):
+def _pair_compact_rows(G, ROW_CAP, CAP_PAIR, ti, tj, mi, total):
     """In-VMEM two-level compaction of one pair's contact mask; returns
     ``(gi_row, gj_row, over)`` with the compacted global positions in the
     (1, CAP_PAIR) rows' leading ``total`` lanes.  See _pair_compact_vrows
     for the compaction itself; this wrapper reduces its per-lane ROW_CAP
     flag row to the scalar ``over`` used by the single-pass kernels."""
     gi_row, gj_row, over_row = _pair_compact_vrows(
-        G, ROW_CAP, CAP_PAIR, ti, mi, gj)
+        G, ROW_CAP, CAP_PAIR, ti, tj, mi)
     over = (total > CAP_PAIR) | (jnp.sum(over_row) > 0)
     return gi_row, gj_row, over
 
 
-def _pair_compact(G, ROW_CAP, CAP_PAIR, ti, tj, mi, gj, total, meta_lane,
+def _pair_compact(G, ROW_CAP, CAP_PAIR, ti, tj, mi, total, meta_lane,
                   out, row):
     seg = _seg(CAP_PAIR)
     gi_row, gj_row, over = _pair_compact_rows(
-        G, ROW_CAP, CAP_PAIR, ti, tj, mi, gj, total)
+        G, ROW_CAP, CAP_PAIR, ti, tj, mi, total)
     out[0, row, 0:CAP_PAIR] = gi_row[0, :]
     out[0, row, seg:seg + CAP_PAIR] = gj_row[0, :]
     out[0, row, 2 * seg:2 * seg + 128] = jnp.where(
@@ -760,11 +760,12 @@ def _group_emit_kernel(mask_kind: str, G: int, W: int, ROW_CAP: int,
                         m = _band_mask(mask_kind, cols, b_blk, r * BH, BH)
                         mscr[r * BH:(r + 1) * BH, :] = m.astype(jnp.float32)
                 mi = mscr[:, :]
-                gj = tj * G + lane
                 if dedup:
-                    mi = jnp.where(gj > ti * G + sub, mi, 0.0)
+                    # phase 1 guarantees ti <= tj, so gj > gi reduces to
+                    # the local triangle on the diagonal pair only
+                    mi = jnp.where((tj != ti) | (lane > sub), mi, 0.0)
                 gi_row, gj_row, over_row = _pair_compact_vrows(
-                    G, ROW_CAP, CAP_PAIR, ti, mi, gj)
+                    G, ROW_CAP, CAP_PAIR, ti, tj, mi)
                 over_scr[0, 0:G] = over_scr[0, 0:G] + over_row[0, :]
                 if CAP_PAIR < 128:
                     z = jnp.zeros((1, 128 - CAP_PAIR), jnp.float32)
@@ -814,20 +815,25 @@ def _group_emit_kernel(mask_kind: str, G: int, W: int, ROW_CAP: int,
                                 cur_ref[2].astype(jnp.float32), 0.0)))
 
 
-def _pair_compact_vrows(G, ROW_CAP, CAP_PAIR, ti, mi, gj):
+def _pair_compact_vrows(G, ROW_CAP, CAP_PAIR, ti, tj, mi):
     """_pair_compact_rows without the vector->scalar ``over`` reduction:
     returns ``(gi_row, gj_row, over_row)`` where ``over_row`` is a (1, G)
     f32 per-lane ROW_CAP-violation indicator (the caller accumulates it
-    into a persistent flag row — no scalar sync)."""
+    into a persistent flag row — no scalar sync).
+
+    Every contraction carries only LOCAL indices (< G = 128; row counts
+    <= G; offsets <= CAP_PAIR on every non-flagged pair), which bf16's
+    8-bit mantissa represents exactly — so every matmul runs at DEFAULT
+    precision (one MXU pass; the global-position payloads previously
+    forced two 6-pass HIGHEST contractions here).  ``ti * G`` / ``tj * G``
+    shift the compacted local rows to global positions at the end (pad
+    lanes beyond the pair's count carry the bare shift, never consumed:
+    the emit stage clips at ``cnt`` and extraction at the exact offsets).
+    """
     lane = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
     sub = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
     f32 = jnp.float32
     ltri_strict = jnp.where(sub > lane, 1.0, 0.0)
-    # The three prefix/count matmuls carry only values < 256 (row counts
-    # <= G = 128; offsets <= CAP_PAIR on every non-flagged pair), which
-    # bf16's 8-bit mantissa represents exactly — DEFAULT precision (one
-    # MXU pass) suffices.  The payload contractions further down carry
-    # global positions up to 2^23 and keep HIGHEST (6-pass f32-exact).
     row_pos = jax.lax.dot_general(
         mi, ltri_strict, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=f32)
@@ -843,28 +849,25 @@ def _pair_compact_vrows(G, ROW_CAP, CAP_PAIR, ti, mi, gj):
                                      ).astype(f32)
     onehot_row = jnp.where(
         (row_pos[None, :, :] == s_row) & (mi[None, :, :] > 0), 1.0, 0.0)
-    gj_f = gj.astype(f32)
-    jv = jnp.sum(onehot_row * gj_f[None, :, :], axis=2)
+    j_local = lane.astype(f32)                       # b-leaf within tile
+    jv = jnp.sum(onehot_row * j_local[None, :, :], axis=2)
     k_col = jax.lax.broadcasted_iota(jnp.int32, (CAP_PAIR, G), 0
                                      ).astype(f32)
-    gi_lane = (ti * G + jax.lax.broadcasted_iota(jnp.int32, (1, G), 1)
-               ).astype(f32)
+    i_local = jax.lax.broadcasted_iota(jnp.int32, (1, G), 1).astype(f32)
     acc_gi = jnp.zeros((CAP_PAIR, G), f32)
     acc_gj = jnp.zeros((CAP_PAIR, G), f32)
     for s in range(ROW_CAP):
         pos_s = row_off_lane + float(s)
         valid_s = row_cnt_lane > float(s)
         oh_s = jnp.where((pos_s == k_col) & valid_s, 1.0, 0.0)
-        acc_gi = acc_gi + oh_s * gi_lane
+        acc_gi = acc_gi + oh_s * i_local
         acc_gj = acc_gj + oh_s * jv[s:s + 1, :]
-    gi_row = jax.lax.dot_general(
+    gi_row = (ti * G).astype(f32) + jax.lax.dot_general(
         ones_row, acc_gi, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=f32,
-        precision=jax.lax.Precision.HIGHEST)
-    gj_row = jax.lax.dot_general(
+        preferred_element_type=f32)
+    gj_row = (tj * G).astype(f32) + jax.lax.dot_general(
         ones_row, acc_gj, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=f32,
-        precision=jax.lax.Precision.HIGHEST)
+        preferred_element_type=f32)
     over_row = jnp.where(row_cnt_lane > float(ROW_CAP), 1.0, 0.0)
     return gi_row, gj_row, over_row
 
@@ -1041,8 +1044,8 @@ def _group_kernel(mask_kind: str, G: int, W: int, ROW_CAP: int,
                 meta_lane[0] == 0, total, 0.0)
 
             @pl.when(total > 0.0)
-            def _(w=w, ti=ti, tj=tj, mi=mi, gj=gj, total=total):
-                _pair_compact(G, ROW_CAP, CAP_PAIR, ti, tj, mi, gj,
+            def _(w=w, ti=ti, tj=tj, mi=mi, total=total):
+                _pair_compact(G, ROW_CAP, CAP_PAIR, ti, tj, mi,
                               total, meta_lane, out, w)
 
 

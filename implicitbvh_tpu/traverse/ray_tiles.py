@@ -323,21 +323,35 @@ def traverse_rays_tiles_fixed(bvh: BVH, points, directions, capacity: int, *,
         slot_overflow = jnp.any(counts > alg.pair_cap)
 
         W2 = alg.emit_w
-        S2_cap, CHUNK2 = _step_caps(RT + capacity // (8 * W2))
-        E2_cap = max(4096, capacity // 8)
+        # ray hit-bearing pairs carry far fewer hits each than self-contact
+        # pairs (1-3 vs ~8+): size the emit grid and live-run cap for the
+        # 1-hit-per-pair worst case instead of the self-contact density
+        # (capacity // (8 * W2) overflowed at 100k rays x 262k BVs).  Dead
+        # chunks skip via lax.cond, so the padding is near-free.
+        S2_cap, CHUNK2 = _step_caps(RT + capacity // W2)
+        E2_cap = max(4096, capacity // 2)
         a_idx2, b_idx2, nsteps2, over2 = _regroup_emit_runs(
             a_idx, run_idx, bm_grp, counts, W2, S2_cap, E2_cap, T, R, NB)
         cap_overflow = (nsteps2 > S2_cap) | over2
         parts = []
         for start in range(0, S2_cap, CHUNK2):
             ns_c = jnp.clip(nsteps2 - start, 0, CHUNK2)
-            gi_c, gj_c, tot_c, flags_c = tile_group_emit(
-                a_idx2[start:start + CHUNK2],
-                b_idx2[start * W2:(start + CHUNK2) * W2],
-                ns_c.reshape(1).astype(jnp.int32), rfields, fields,
-                mask_kind=mask_kind, G=G, W=W2,
-                ROW_CAP=alg.row_cap, CAP_PAIR=alg.pair_cap,
-                dedup=False, CAP=capacity, interpret=interpret)
+
+            def emit_chunk(start=start, ns_c=ns_c):
+                return tile_group_emit(
+                    a_idx2[start:start + CHUNK2],
+                    b_idx2[start * W2:(start + CHUNK2) * W2],
+                    ns_c.reshape(1).astype(jnp.int32), rfields, fields,
+                    mask_kind=mask_kind, G=G, W=W2,
+                    ROW_CAP=alg.row_cap, CAP_PAIR=alg.pair_cap,
+                    dedup=False, CAP=capacity, interpret=interpret)
+
+            gi_c, gj_c, tot_c, flags_c = jax.lax.cond(
+                ns_c > 0, emit_chunk,
+                lambda: (jnp.zeros((capacity,), jnp.float32),
+                         jnp.zeros((capacity,), jnp.float32),
+                         jnp.zeros((), jnp.int32),
+                         jnp.zeros((), jnp.int32)))
             parts.append((gi_c, gj_c, tot_c))
             cap_overflow = cap_overflow | ((flags_c & 1) > 0)
             slot_overflow = slot_overflow | ((flags_c & 2) > 0)

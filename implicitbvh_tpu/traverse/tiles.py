@@ -808,13 +808,24 @@ def traverse_tiles_fixed(bvh: BVH, capacity: int, *,
         parts = []
         for start in range(0, S2_cap, CHUNK2):
             ns_c = jnp.clip(nsteps2 - start, 0, CHUNK2)
-            gi_c, gj_c, tot_c, flags_c = tile_group_emit(
-                a_idx2[start:start + CHUNK2],
-                b_idx2[start * W2:(start + CHUNK2) * W2],
-                ns_c.reshape(1).astype(jnp.int32), fields,
-                mask_kind=mask_kind, G=G, W=W2,
-                ROW_CAP=alg.row_cap, CAP_PAIR=alg.pair_cap,
-                dedup=True, CAP=capacity, interpret=interpret)
+
+            def emit_chunk(start=start, ns_c=ns_c):
+                return tile_group_emit(
+                    a_idx2[start:start + CHUNK2],
+                    b_idx2[start * W2:(start + CHUNK2) * W2],
+                    ns_c.reshape(1).astype(jnp.int32), fields,
+                    mask_kind=mask_kind, G=G, W=W2,
+                    ROW_CAP=alg.row_cap, CAP_PAIR=alg.pair_cap,
+                    dedup=True, CAP=capacity, interpret=interpret)
+
+            # skip whole dead chunks (the generous S2_cap leaves most of
+            # the padded grid dead; a dead step still costs ~0.3 us issue)
+            gi_c, gj_c, tot_c, flags_c = jax.lax.cond(
+                ns_c > 0, emit_chunk,
+                lambda: (jnp.zeros((capacity,), jnp.float32),
+                         jnp.zeros((capacity,), jnp.float32),
+                         jnp.zeros((), jnp.int32),
+                         jnp.zeros((), jnp.int32)))
             parts.append((gi_c, gj_c, tot_c))
             cap_overflow = cap_overflow | ((flags_c & 1) > 0)
             slot_overflow = slot_overflow | ((flags_c & 2) > 0)
@@ -1145,13 +1156,22 @@ def traverse_tiles_pair_fixed(bvh1: BVH, bvh2: BVH, capacity: int, *,
         parts = []
         for start in range(0, S2_cap, CHUNK2):
             ns_c = jnp.clip(nsteps2 - start, 0, CHUNK2)
-            gi_c, gj_c, tot_c, flags_c = tile_group_emit(
-                a_idx2[start:start + CHUNK2],
-                b_idx2[start * W2:(start + CHUNK2) * W2],
-                ns_c.reshape(1).astype(jnp.int32), f1, f2,
-                mask_kind=mask_kind, G=G, W=W2,
-                ROW_CAP=alg.row_cap, CAP_PAIR=alg.pair_cap,
-                dedup=False, CAP=capacity, interpret=interpret)
+
+            def emit_chunk(start=start, ns_c=ns_c):
+                return tile_group_emit(
+                    a_idx2[start:start + CHUNK2],
+                    b_idx2[start * W2:(start + CHUNK2) * W2],
+                    ns_c.reshape(1).astype(jnp.int32), f1, f2,
+                    mask_kind=mask_kind, G=G, W=W2,
+                    ROW_CAP=alg.row_cap, CAP_PAIR=alg.pair_cap,
+                    dedup=False, CAP=capacity, interpret=interpret)
+
+            gi_c, gj_c, tot_c, flags_c = jax.lax.cond(
+                ns_c > 0, emit_chunk,
+                lambda: (jnp.zeros((capacity,), jnp.float32),
+                         jnp.zeros((capacity,), jnp.float32),
+                         jnp.zeros((), jnp.int32),
+                         jnp.zeros((), jnp.int32)))
             parts.append((gi_c, gj_c, tot_c))
             cap_overflow = cap_overflow | ((flags_c & 1) > 0)
             slot_overflow = slot_overflow | ((flags_c & 2) > 0)
