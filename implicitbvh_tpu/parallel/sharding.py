@@ -342,13 +342,22 @@ def sharded_tile_self_contact(mesh: Mesh, bvh: BVH,
         parts = []
         for start in range(0, S2_cap, CHUNK2):
             ns_c = jnp.clip(nsteps2 - start, 0, CHUNK2)
-            gi_c, gj_c, tot_c, flags_c = tile_group_emit(
-                a_idx2[start:start + CHUNK2],
-                b_idx2[start * W2:(start + CHUNK2) * W2],
-                ns_c.reshape(1).astype(jnp.int32), fields_rep,
-                mask_kind=mask_kind, G=G, W=W2,
-                ROW_CAP=alg.row_cap, CAP_PAIR=alg.pair_cap,
-                dedup=True, CAP=cap_stream, interpret=interpret)
+
+            def emit_chunk(start=start, ns_c=ns_c):
+                return tile_group_emit(
+                    a_idx2[start:start + CHUNK2],
+                    b_idx2[start * W2:(start + CHUNK2) * W2],
+                    ns_c.reshape(1).astype(jnp.int32), fields_rep,
+                    mask_kind=mask_kind, G=G, W=W2,
+                    ROW_CAP=alg.row_cap, CAP_PAIR=alg.pair_cap,
+                    dedup=True, CAP=cap_stream, interpret=interpret)
+
+            gi_c, gj_c, tot_c, flags_c = jax.lax.cond(
+                ns_c > 0, emit_chunk,
+                lambda: (jnp.zeros((cap_stream,), jnp.float32),
+                         jnp.zeros((cap_stream,), jnp.float32),
+                         jnp.zeros((), jnp.int32),
+                         jnp.zeros((), jnp.int32)))
             parts.append((gi_c, gj_c, tot_c))
             cap_overflow = cap_overflow | ((flags_c & 1) > 0)
             slot_overflow = slot_overflow | ((flags_c & 2) > 0)

@@ -163,8 +163,11 @@ def _phase1_ray_runs(rfields, tile_lo, tile_up, W: int, S_cap: int,
     wts = jnp.asarray([1 << (NB * j) for j in range(TPW)], jnp.int32)
     words = (bits.reshape(RT, NGT, NW, TPW) *
              wts[None, None, None, :]).sum(-1)       # (RT, NGT, NW)
+    # f32: the product overflows int32 beyond ~2^31 tests (seen at 100k
+    # rays x 262k BVs); num_checks is a diagnostic count
     num_checks = jnp.sum(
-        jax.lax.population_count(words)) * (G // NB) * G
+        jax.lax.population_count(words)).astype(jnp.float32) * (
+            (G // NB) * G)
 
     live = (words != 0).any(-1)
     h = live.astype(jnp.int32)
@@ -400,8 +403,8 @@ def traverse_rays_tiles_fixed(bvh: BVH, points, directions, capacity: int, *,
     overflow = (jnp.where(pair_overflow | (total > capacity), 1, 0)
                 | jnp.where(slot_overflow, 2, 0))
     from ..ops.tile_contact import N_BANDS
-    num_checks = jnp.sum(jax.lax.population_count(b_idx >> 16)) \
-        * (G // N_BANDS) * G
+    num_checks = jnp.sum(jax.lax.population_count(b_idx >> 16)
+                         ).astype(jnp.float32) * ((G // N_BANDS) * G)
     return total, contacts, overflow, num_checks
 
 

@@ -420,8 +420,12 @@ def _runs_from_bits(bits, si, sj, SS: int, G: int, W: int, S_cap: int,
     # (SP_cap, SS, NG, NW): word q of run g covers tiles [q*TPW, +TPW)
     words = (bits.reshape(SP_cap, SS, NG, NW, TPW) *
              wts[None, None, None, None, :]).sum(-1)
+    # f32: the product overflows int32 beyond ~2^31 tests (seen at 100k
+    # rays x 262k BVs); num_checks is a diagnostic count, f32 rounding
+    # (24-bit mantissa) is immaterial
     num_checks = jnp.sum(
-        jax.lax.population_count(words)) * (G // NB) * G
+        jax.lax.population_count(words)).astype(jnp.float32) * (
+            (G // NB) * G)
 
     # run key (unique: a (ti, tj) pair lives in exactly one superpair):
     # ti(16b) << 13 | run; run = tj >> log2(R) < 8192 for T < 2^16
@@ -873,7 +877,7 @@ def traverse_tiles_fixed(bvh: BVH, capacity: int, *,
     lanep = jnp.arange(band.shape[0], dtype=jnp.int32)
     num_checks = jnp.sum(
         jnp.where(lanep < npairs, jax.lax.population_count(band), 0)
-    ) * (G // N_BANDS) * G
+    ).astype(jnp.float32) * ((G // N_BANDS) * G)
     return total, contacts, overflow, num_checks
 
 
@@ -1224,7 +1228,7 @@ def traverse_tiles_pair_fixed(bvh1: BVH, bvh2: BVH, capacity: int, *,
     lanep = jnp.arange(band.shape[0], dtype=jnp.int32)
     num_checks = jnp.sum(
         jnp.where(lanep < npairs, jax.lax.population_count(band), 0)
-    ) * (G // N_BANDS) * G
+    ).astype(jnp.float32) * ((G // N_BANDS) * G)
     return total, contacts, overflow, num_checks
 
 
