@@ -195,12 +195,22 @@ def main():
                          jnp.zeros((), jnp.int32),
                          jnp.zeros((), jnp.int32)))
             parts.append((gi_c, gj_c, tot_c))
+        parts = jax.lax.optimization_barrier(parts)
         return perm, parts
 
     def s_emit(q, d2):
         perm, parts = _emit(q, d2)
         return sum(p[0].sum() + p[1].sum() +
                    p[2].astype(jnp.float32) for p in parts)
+
+    def s_emitc(q, d2):
+        # concat-only probe: forces the chunk stream buffers to
+        # materialize (concat) without the merge's sort
+        perm, parts = _emit(q, d2)
+        gis = jnp.concatenate([p[0] for p in parts])
+        gjs = jnp.concatenate([p[1] for p in parts])
+        return (gis.sum() + gjs.sum() +
+                sum(p[2].astype(jnp.float32) for p in parts))
 
     def _merge(q, d2):
         perm, parts = _emit(q, d2)
@@ -231,8 +241,8 @@ def main():
                 contacts.sum(dtype=jnp.int32).astype(jnp.float32) * 1e-9)
 
     stages = [("sort", s_sort), ("phase1", s_phase1), ("kernel", s_kernel),
-              ("regroup", s_regroup), ("emit", s_emit), ("merge", s_merge),
-              ("finish", s_finish), ("full", s_full)]
+              ("regroup", s_regroup), ("emit", s_emit), ("emitc", s_emitc),
+              ("merge", s_merge), ("finish", s_finish), ("full", s_full)]
     import os
     sel = os.environ.get("STAGES")
     if sel:
@@ -248,3 +258,4 @@ def main():
 
 if __name__ == "__main__":
     main()
+

@@ -60,6 +60,7 @@ def main():
         configs = [tuple(int(x) for x in s.split(",")) for s in sys.argv[3:]]
     else:
         configs = [(8, 4, 4, 8), (8, 4, 8, 8), (8, 4, 16, 8), (8, 8, 16, 8)]
+    configs = [c + (8,) * (5 - len(c)) for c in configs]   # default row_cap
 
     rng = np.random.default_rng(0)
     scale = float(n) ** (1.0 / 3.0)
@@ -79,18 +80,19 @@ def main():
     cap = max(1 << math.ceil(math.log2(max(4 * nrays, 4096))), 4096)
 
     expected = None
-    for (R, W2, NB, CW) in configs:
-        alg = TileTraversal(row_cap=8, pair_cap=32, run_r=R, emit_w=W2,
+    for (R, W2, NB, CW, RC) in configs:
+        alg = TileTraversal(row_cap=RC, pair_cap=32, run_r=R, emit_w=W2,
                             bands=NB, count_w=CW)
         total, contacts, ov, nc = traverse_rays_tiles_fixed(
             bvh, p, d, cap, alg=alg)
         tot = int(total)
-        assert int(ov) == 0, f"overflow bits {int(ov)} at {(R, W2, NB, CW)}"
+        assert int(ov) == 0, \
+            f"overflow bits {int(ov)} at {(R, W2, NB, CW, RC)}"
         hits = set(map(tuple, np.asarray(contacts[:tot]).tolist()))
         assert len(hits) == tot, "duplicate hits"
         if expected is None:
             expected = hits
-        assert hits == expected, f"hit mismatch at {(R, W2, NB, CW)}"
+        assert hits == expected, f"hit mismatch at {(R, W2, NB, CW, RC)}"
 
         def s_rays(q, d2, alg=alg):
             total, contacts, ov, _nc = traverse_rays_tiles_fixed(
@@ -101,7 +103,7 @@ def main():
                     * 1e-9)
 
         ms = timed(s_rays, p, d)
-        print(f"R={R:3d} W2={W2:2d} NB={NB:3d} CW={CW:3d}  "
+        print(f"R={R:3d} W2={W2:2d} NB={NB:3d} CW={CW:3d} RC={RC:2d}  "
               f"rays {ms:8.2f} ms  ({tot} hits, num_checks {int(nc):,})",
               flush=True)
 

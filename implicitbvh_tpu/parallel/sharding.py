@@ -361,6 +361,11 @@ def sharded_tile_self_contact(mesh: Mesh, bvh: BVH,
             parts.append((gi_c, gj_c, tot_c))
             cap_overflow = cap_overflow | ((flags_c & 1) > 0)
             slot_overflow = slot_overflow | ((flags_c & 2) > 0)
+        # barrier: the merge consumes each chunk's (gi, gj, total) through
+        # several chains (two gather operands + the prefix totals); without
+        # it XLA rematerializes the emit pipeline per chain — measured
+        # +110 ms at 100k rays (same lesson as the count-kernel barrier)
+        parts = jax.lax.optimization_barrier(parts)
         gi_pos, gj_pos, total_d = _merge_streams(parts, cap_stream)
 
         narrow_fn = None

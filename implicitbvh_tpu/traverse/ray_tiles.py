@@ -358,6 +358,11 @@ def traverse_rays_tiles_fixed(bvh: BVH, points, directions, capacity: int, *,
             parts.append((gi_c, gj_c, tot_c))
             cap_overflow = cap_overflow | ((flags_c & 1) > 0)
             slot_overflow = slot_overflow | ((flags_c & 2) > 0)
+        # barrier: the merge consumes each chunk's (gi, gj, total) through
+        # several chains (two gather operands + the prefix totals); without
+        # it XLA rematerializes the emit pipeline per chain — measured
+        # +110 ms at 100k rays (same lesson as the count-kernel barrier)
+        parts = jax.lax.optimization_barrier(parts)
         # gi = sorted ray positions, gj = sorted leaf positions; contact
         # columns are (leaf user index, 1-based ray index)
         gi_pos, gj_pos, total = _merge_streams(parts, capacity)

@@ -691,23 +691,36 @@ def _finish_contacts(out_gi, out_gj, total, leaf_index, narrow_mask_fn,
 def _merge_streams(parts, capacity: int):
     """Concatenate per-chunk dense contact streams (gi, gj, total) into one
     (capacity,) pair of position arrays + grand total.  Single-chunk runs
-    (every scene whose step list fits one SMEM chunk) pass through."""
+    (every scene whose step list fits one SMEM chunk) pass through.
+
+    Gather-based: each of the ``capacity`` output slots computes its
+    (chunk, offset) source from the chunks' exclusive prefix totals
+    (len(parts) scalar wheres) and gathers it — both a cumsum+scatter
+    pair and a key-sort compaction measured **~110 ms** on the 5-chunk x
+    262k merge at 100k rays (a data-permutation pathology only the ray
+    path's multi-chunk emit grid ever hit; 1M self-contact fits one
+    chunk and passes through), while two overlapped 262k gathers cost
+    ~3 ms — the same trade the round-2 extraction rewrite measured."""
     if len(parts) == 1:
         gi, gj, tot = parts[0]
         return gi.astype(jnp.int32), gj.astype(jnp.int32), tot
     C = parts[0][0].shape[0]
-    lanes = jnp.arange(C, dtype=jnp.int32)
     gis = jnp.concatenate([p[0] for p in parts])
     gjs = jnp.concatenate([p[1] for p in parts])
-    valid = jnp.concatenate([lanes < p[2] for p in parts])
-    v = valid.astype(jnp.int32)
-    pos = jnp.cumsum(v) - v
-    posx = jnp.where(valid, pos, capacity)
-    out_gi = jnp.zeros((capacity,), jnp.int32).at[posx].set(
-        gis.astype(jnp.int32), mode="drop")
-    out_gj = jnp.zeros((capacity,), jnp.int32).at[posx].set(
-        gjs.astype(jnp.int32), mode="drop")
-    return out_gi, out_gj, sum(p[2] for p in parts)
+    prefix = []                       # exclusive prefix of chunk totals
+    total = jnp.zeros((), jnp.int32)
+    for p in parts:
+        prefix.append(total)
+        total = total + p[2]
+    k = jnp.arange(capacity, dtype=jnp.int32)
+    flat = k                          # chunk 0 source by default
+    for c in range(1, len(parts)):
+        flat = jnp.where(k >= prefix[c], c * C + (k - prefix[c]), flat)
+    flat = jnp.clip(flat, 0, gis.shape[0] - 1)
+    in_range = k < total
+    out_gi = jnp.where(in_range, gis[flat].astype(jnp.int32), 0)
+    out_gj = jnp.where(in_range, gjs[flat].astype(jnp.int32), 0)
+    return out_gi, out_gj, total
 
 
 @partial(jax.jit, static_argnames=("capacity", "alg", "pair_capacity",
@@ -833,6 +846,11 @@ def traverse_tiles_fixed(bvh: BVH, capacity: int, *,
             parts.append((gi_c, gj_c, tot_c))
             cap_overflow = cap_overflow | ((flags_c & 1) > 0)
             slot_overflow = slot_overflow | ((flags_c & 2) > 0)
+        # barrier: the merge consumes each chunk's (gi, gj, total) through
+        # several chains (two gather operands + the prefix totals); without
+        # it XLA rematerializes the emit pipeline per chain — measured
+        # +110 ms at 100k rays (same lesson as the count-kernel barrier)
+        parts = jax.lax.optimization_barrier(parts)
         gi_pos, gj_pos, total = _merge_streams(parts, capacity)
         total, contacts = _finish_contacts(
             gi_pos, gj_pos, total, bvh.leaves.index, narrow_fn, capacity)
@@ -1179,6 +1197,11 @@ def traverse_tiles_pair_fixed(bvh1: BVH, bvh2: BVH, capacity: int, *,
             parts.append((gi_c, gj_c, tot_c))
             cap_overflow = cap_overflow | ((flags_c & 1) > 0)
             slot_overflow = slot_overflow | ((flags_c & 2) > 0)
+        # barrier: the merge consumes each chunk's (gi, gj, total) through
+        # several chains (two gather operands + the prefix totals); without
+        # it XLA rematerializes the emit pipeline per chain — measured
+        # +110 ms at 100k rays (same lesson as the count-kernel barrier)
+        parts = jax.lax.optimization_barrier(parts)
         gi_pos, gj_pos, total = _merge_streams(parts, capacity)
         total, contacts = _finish_contacts(
             gi_pos, gj_pos, total, bvh1.leaves.index, narrow_fn, capacity,
