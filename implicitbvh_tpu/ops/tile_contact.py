@@ -744,6 +744,33 @@ def _group_emit_kernel(mask_kind: str, G: int, W: int, ROW_CAP: int,
         sub = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
         ri = jax.lax.broadcasted_iota(jnp.int32, (_STAGE_ROWS, 128), 0)
         li = jax.lax.broadcasted_iota(jnp.int32, (_STAGE_ROWS, 128), 1)
+
+        def append(gi_row, gj_row, cnt_c):
+            # append (1, 128) payload rows at the scalar cursor (cnt >
+            # CAP_PAIR is flagged on the XLA side from kernel A's counts;
+            # clamp keeps the stage select in its two-row window)
+            cur = cur_ref[0]
+            sh = jax.lax.rem(cur, jnp.int32(128))
+            row0 = jax.lax.rem(cur // 128, jnp.int32(_STAGE_ROWS))
+            row1 = jax.lax.rem(row0 + 1, jnp.int32(_STAGE_ROWS))
+            rgi = pltpu.roll(gi_row, sh, axis=1)
+            rgj = pltpu.roll(gj_row, sh, axis=1)
+            m_st = ((ri == row0) & (li >= sh) & (li < sh + cnt_c)) | \
+                   ((ri == row1) & (li < sh + cnt_c - 128))
+            stage_gi[:, :] = jnp.where(
+                m_st, jnp.broadcast_to(rgi, (_STAGE_ROWS, 128)),
+                stage_gi[:, :])
+            stage_gj[:, :] = jnp.where(
+                m_st, jnp.broadcast_to(rgj, (_STAGE_ROWS, 128)),
+                stage_gj[:, :])
+            new_cur = cur + cnt_c
+            cur_ref[0] = new_cur
+
+            @pl.when(new_cur // 128 - cur_ref[1] >= 8)
+            def _():
+                _stream_flush(stage_gi, stage_gj, gi_hbm, gj_hbm,
+                              sems, cur_ref, CAPROWS)
+
         for w in range(W):
             bw = bi_ref[s * W + w]
             tj = bw & 0xFFFF
@@ -764,39 +791,127 @@ def _group_emit_kernel(mask_kind: str, G: int, W: int, ROW_CAP: int,
                     # phase 1 guarantees ti <= tj, so gj > gi reduces to
                     # the local triangle on the diagonal pair only
                     mi = jnp.where((tj != ti) | (lane > sub), mi, 0.0)
-                gi_row, gj_row, over_row = _pair_compact_vrows(
-                    G, ROW_CAP, CAP_PAIR, ti, tj, mi)
-                over_scr[0, 0:G] = over_scr[0, 0:G] + over_row[0, :]
-                if CAP_PAIR < 128:
-                    z = jnp.zeros((1, 128 - CAP_PAIR), jnp.float32)
-                    gi_row = jnp.concatenate([gi_row, z], axis=1)
-                    gj_row = jnp.concatenate([gj_row, z], axis=1)
 
-                # append at the scalar cursor (cnt > CAP_PAIR is flagged on
-                # the XLA side from kernel A's counts; clamp to keep the
-                # stage select in its two-row window)
-                cnt_c = jnp.minimum(cnt, CAP_PAIR)
-                cur = cur_ref[0]
-                sh = jax.lax.rem(cur, jnp.int32(128))
-                row0 = jax.lax.rem(cur // 128, jnp.int32(_STAGE_ROWS))
-                row1 = jax.lax.rem(row0 + 1, jnp.int32(_STAGE_ROWS))
-                rgi = pltpu.roll(gi_row, sh, axis=1)
-                rgj = pltpu.roll(gj_row, sh, axis=1)
-                m_st = ((ri == row0) & (li >= sh) & (li < sh + cnt_c)) | \
-                       ((ri == row1) & (li < sh + cnt_c - 128))
-                stage_gi[:, :] = jnp.where(
-                    m_st, jnp.broadcast_to(rgi, (_STAGE_ROWS, 128)),
-                    stage_gi[:, :])
-                stage_gj[:, :] = jnp.where(
-                    m_st, jnp.broadcast_to(rgj, (_STAGE_ROWS, 128)),
-                    stage_gj[:, :])
-                new_cur = cur + cnt_c
-                cur_ref[0] = new_cur
+                # fast path: a single contact needs no compaction — its
+                # (i, j) is the (exact, one-term) sum of mask * iota,
+                # extracted with two DEFAULT-precision matmul reductions
+                # and replicated across the payload row.  Ray pipelines
+                # live here (59% of hit-bearing pairs carry cnt == 1 at
+                # 100k x 262k; the (ROW_CAP, G, G) onehot machinery was
+                # ~1 us/pair, ~110 ms of the ray total).
+                @pl.when(cnt == 1)
+                def _(mi=mi, tj=tj):
+                    f32 = jnp.float32
+                    ones_g = jnp.ones((1, G), f32)
+                    ones_m = jnp.ones((G, G), f32)
+                    ri_sum = jax.lax.dot_general(
+                        ones_g, mi * sub.astype(f32),
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=f32)     # (1, G) row sums
+                    rj_sum = jax.lax.dot_general(
+                        ones_g, mi * lane.astype(f32),
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=f32)
+                    iv = jax.lax.dot_general(
+                        ri_sum, ones_m,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=f32)     # (1, G) replicated
+                    jv = jax.lax.dot_general(
+                        rj_sum, ones_m,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=f32)
+                    gi1 = (ti * G).astype(f32) + iv
+                    gj1 = (tj * G).astype(f32) + jv
+                    if G < 128:
+                        z = jnp.zeros((1, 128 - G), jnp.float32)
+                        gi1 = jnp.concatenate([gi1, z], axis=1)
+                        gj1 = jnp.concatenate([gj1, z], axis=1)
+                    append(gi1, gj1, jnp.int32(1))
 
-                @pl.when(new_cur // 128 - cur_ref[1] >= 8)
-                def _():
-                    _stream_flush(stage_gi, stage_gj, gi_hbm, gj_hbm,
-                                  sems, cur_ref, CAPROWS)
+                # cnt == 2: both contacts are exact functions of the mask
+                # moments (every quantity is an integer < 2^16, f32 sqrt
+                # of a perfect square and the divide-out of (i1 - i2) are
+                # IEEE-exact): S/Q give the two row indices via the
+                # quadratic, the cross moment P = sum(m * i * j) pairs the
+                # columns.  Another ~34% of ray hit-bearing pairs.
+                @pl.when(cnt == 2)
+                def _(mi=mi, tj=tj):
+                    f32 = jnp.float32
+                    ones_g = jnp.ones((1, G), f32)
+                    ones_m = jnp.ones((G, G), f32)
+                    sf = sub.astype(f32)
+                    lf = lane.astype(f32)
+
+                    def tot(x):
+                        # DEFAULT-precision (bf16-pass) matmul chain:
+                        # callers keep every operand value <= 255 (exact
+                        # in bf16's 8-bit mantissa; cnt == 2 bounds row
+                        # sums at 2 x 127)
+                        rs = jax.lax.dot_general(
+                            ones_g, x,
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=f32)
+                        return jax.lax.dot_general(
+                            rs, ones_m,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=f32)     # (1, G) repl
+
+                    def tot_big(w):
+                        # second-moment weights reach 127^2 — beyond
+                        # bf16's exact-integer range, so split the weight
+                        # into <= 127 hi/lo fields and recombine in f32
+                        # (measured on-chip: unsplit DEFAULT passes
+                        # rounded the moments and emitted wrong contacts)
+                        hi = jnp.floor(w * (1.0 / 128.0))
+                        lo = w - hi * 128.0
+                        return 128.0 * tot(mi * hi) + tot(mi * lo)
+
+                    si_t = tot(mi * sf)
+                    qi_t = tot_big(sf * sf)
+                    sj_t = tot(mi * lf)
+                    qj_t = tot_big(lf * lf)
+                    pij_t = tot_big(sf * lf)
+                    di = jnp.sqrt(jnp.maximum(2.0 * qi_t - si_t * si_t,
+                                              0.0))
+                    i1 = (si_t - di) * 0.5
+                    i2 = (si_t + di) * 0.5
+                    dj = jnp.sqrt(jnp.maximum(2.0 * qj_t - sj_t * sj_t,
+                                              0.0))
+                    # same row (di == 0): columns from the j quadratic;
+                    # distinct rows: j1 = (P - i2*Sj) / (i1 - i2), exact
+                    same = di < 0.5
+                    j1_d = (pij_t - i2 * sj_t) / jnp.where(same, 1.0,
+                                                           i1 - i2)
+                    j1 = jnp.where(same, (sj_t - dj) * 0.5, j1_d)
+                    j2 = jnp.where(same, (sj_t + dj) * 0.5, sj_t - j1)
+                    l2 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+                    tif = (ti * G).astype(f32)
+                    tjf = (tj * G).astype(f32)
+
+                    def two_lane(v1, v2, base):
+                        v1p = v1
+                        v2p = v2
+                        if G < 128:
+                            z = jnp.zeros((1, 128 - G), jnp.float32)
+                            v1p = jnp.concatenate([v1p, z], axis=1)
+                            v2p = jnp.concatenate([v2p, z], axis=1)
+                        return jnp.where(
+                            l2 == 0, base + v1p,
+                            jnp.where(l2 == 1, base + v2p, 0.0))
+
+                    append(two_lane(i1, i2, tif), two_lane(j1, j2, tjf),
+                           jnp.int32(2))
+
+                @pl.when(cnt > 2)
+                def _(mi=mi, tj=tj, cnt=cnt):
+                    gi_row, gj_row, over_row = _pair_compact_vrows(
+                        G, ROW_CAP, CAP_PAIR, ti, tj, mi)
+                    over_scr[0, 0:G] = over_scr[0, 0:G] + over_row[0, :]
+                    if CAP_PAIR < 128:
+                        z = jnp.zeros((1, 128 - CAP_PAIR), jnp.float32)
+                        gi_row = jnp.concatenate([gi_row, z], axis=1)
+                        gj_row = jnp.concatenate([gj_row, z], axis=1)
+                    append(gi_row, gj_row, jnp.minimum(cnt, CAP_PAIR))
 
     @pl.when(s == S_total - 1)
     def _():

@@ -155,7 +155,7 @@ def sharded_rays(mesh: Mesh, bvh: BVH, points, directions,
     if engine == "tiles":
         from ..traverse.ray_tiles import traverse_rays_tiles_fixed
         from ..traverse.tiles import TileTraversal
-        alg = alg or TileTraversal(row_cap=8)
+        alg = alg or TileTraversal(row_cap=8, emit_w=8)
         cap_dev = capacity_per_device
         # the emit stream flushes aligned 1024-contact quanta
         cap_stream = max(1024, -(-cap_dev // 1024) * 1024)

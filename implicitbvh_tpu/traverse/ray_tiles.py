@@ -244,7 +244,7 @@ def traverse_rays_tiles_fixed(bvh: BVH, points, directions, capacity: int, *,
 
     # rays default to a deeper per-ray slot cap: a single ray can pass
     # through several leaves of one tile in dense scenes (row = ray)
-    alg = alg or TileTraversal(row_cap=8)
+    alg = alg or TileTraversal(row_cap=8, emit_w=8)
     G = alg.tile
     if interpret is None:
         interpret = _use_interpret()
@@ -327,12 +327,15 @@ def traverse_rays_tiles_fixed(bvh: BVH, points, directions, capacity: int, *,
 
         W2 = alg.emit_w
         # ray hit-bearing pairs carry far fewer hits each than self-contact
-        # pairs (1-3 vs ~8+): size the emit grid and live-run cap for the
-        # 1-hit-per-pair worst case instead of the self-contact density
-        # (capacity // (8 * W2) overflowed at 100k rays x 262k BVs).  Dead
-        # chunks skip via lax.cond, so the padding is near-free.
+        # pairs (1-3 vs ~8+): size the emit grid for the 1-hit-per-pair
+        # worst case instead of the self-contact density (capacity //
+        # (8 * W2) overflowed at 100k rays x 262k BVs).  Dead chunks skip
+        # via lax.cond, so the padding is near-free.  E2 (live runs with
+        # hits) measured 38k at capacity 2^18 (diag_rays.py): capacity//4
+        # carries ~1.7x headroom while halving the R-wide regroup
+        # expansion; overflow feeds the growth loop.
         S2_cap, CHUNK2 = _step_caps(RT + capacity // W2)
-        E2_cap = max(4096, capacity // 2)
+        E2_cap = max(4096, capacity // 4)
         a_idx2, b_idx2, nsteps2, over2 = _regroup_emit_runs(
             a_idx, run_idx, bm_grp, counts, W2, S2_cap, E2_cap, T, R, NB)
         cap_overflow = (nsteps2 > S2_cap) | over2
@@ -420,7 +423,7 @@ def traverse_rays_tiles(bvh: BVH, points, directions, *,
                         ) -> BVHTraversal:
     """Host wrapper with overflow-driven capacity growth (ray tiles)."""
     from .tiles import _merge_cached_alg
-    alg = alg or TileTraversal(row_cap=8)
+    alg = alg or TileTraversal(row_cap=8, emit_w=8)
     alg = _merge_cached_alg(alg, cache)
     idt = bvh.skips.dtype
     n_rays = int(jnp.asarray(points).shape[1])
