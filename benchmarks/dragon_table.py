@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Like-for-like reference-table benchmark: 249,882 triangles (the size of
+the reference's xyzrgb_dragon mesh — every published reference number uses
+it, /root/reference/README.md:220-232, BASELINE.md) with the same four
+rows: volumes / build / self-contact traverse / 100k random rays.
+
+The mesh itself is not redistributable, so the scene is the repo's
+standard synthetic triangle soup at the exact triangle count and unit
+density — the same generator as every other benchmark here.  Timings are
+chained fetch-forced (min over trials, K-step data-dependent chains inside
+one jit), the repo's honest-timing protocol; the reference columns for
+comparison (M3 Max 4-thread / A100):
+
+  volumes   0.92 ms / —          (README.md:228)
+  build     2.631 ms / 0.410 ms  (README.md:229)
+  traverse  19.7 ms / 1.14 ms    (README.md:230)
+  100k rays 113.8 ms / 2.00 ms   (README.md:231)
+
+Usage: dragon_table.py [K]
+"""
+
+import math
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import implicitbvh_tpu as ib
+from implicitbvh_tpu.traverse import TileTraversal, traverse_tiles_fixed
+from implicitbvh_tpu.traverse.ray_tiles import (
+    _ray_tile_fields, _sort_rays, traverse_rays_tiles_fixed)
+
+N_TRI = 249_882
+N_RAYS = 100_000
+K = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+
+
+def timed(fn, *args):
+    @jax.jit
+    def chained(*a):
+        def body(i, carry):
+            a0, acc = carry
+            dep = fn(a0, *a[1:])
+            a0n = jax.tree_util.tree_map(
+                lambda x: x + (1e-12 * dep).astype(x.dtype), a0)
+            return (a0n, acc + dep)
+        _, acc = jax.lax.fori_loop(0, K, body, (a[0], jnp.float32(0)))
+        return acc
+    float(chained(*args))  # warm
+    best = float("inf")
+    for t in range(3):
+        f = jnp.float32(1.0 + 1e-7 * (t + 1))
+        args2 = (jax.tree_util.tree_map(lambda x: x * f, args[0]),) + \
+            args[1:]
+        t0 = time.time()
+        float(chained(*args2))
+        best = min(best, (time.time() - t0) / K)
+    return 1000.0 * best
+
+
+def main():
+    rng = np.random.default_rng(0)
+    scale = float(N_TRI) ** (1.0 / 3.0)
+    c = (rng.random((N_TRI, 3)) * scale).astype(np.float32)
+    e1 = (rng.random((N_TRI, 3)) - 0.5).astype(np.float32) * 0.4
+    e2 = (rng.random((N_TRI, 3)) - 0.5).astype(np.float32) * 0.4
+
+    def tup(a):
+        return tuple(jnp.asarray(a[:, k]) for k in range(3))
+    p1, p2, p3 = tup(c), tup(c + e1), tup(c + e2)
+
+    rng2 = np.random.default_rng(1)
+    pr = jnp.asarray((rng2.random((3, N_RAYS)) * scale).astype(np.float32))
+    dr = jnp.asarray((rng2.random((3, N_RAYS)) - 0.5).astype(np.float32))
+
+    cap_c = 1 << max(math.ceil(math.log2(N_TRI)) - 3, 12)
+    cap_r = 1 << 19
+    alg = TileTraversal(row_cap=4, pair_cap=32)
+
+    def s_volumes(q1, q2, q3):
+        s = ib.bsphere_from_triangles(q1, q2, q3)
+        return s.xs[0].sum() + s.r.sum()
+
+    def s_build(q1, q2, q3):
+        # node-inclusive dep — the reference's "Build BVH" row aggregates
+        # internal nodes, so this row must too (the fused contact pipeline
+        # below DCEs them; see profile_1m.py's DCE note)
+        s = ib.bsphere_from_triangles(q1, q2, q3)
+        bvh = ib.build(s, ib.BBox)
+        return bvh.nodes.los[0].sum() + bvh.leaves.volume.xs[0][0]
+
+    def s_contact(q1, q2, q3):
+        s = ib.bsphere_from_triangles(q1, q2, q3)
+        bvh = ib.build(s, ib.BBox)
+        total, contacts, overflow, _nc = traverse_tiles_fixed(
+            bvh, cap_c, alg=alg)
+        return (total.astype(jnp.float32) +
+                1e3 * overflow.astype(jnp.float32) +
+                1e-9 * contacts.sum(dtype=jnp.int32).astype(jnp.float32))
+
+    # rays traverse a PREBUILT tree (the reference's ray row does too)
+    bvh0 = ib.build(ib.bsphere_from_triangles(p1, p2, p3), ib.BBox)
+
+    def s_rays(q, d):
+        total, contacts, overflow, _nc = traverse_rays_tiles_fixed(
+            bvh0, q, d, capacity=cap_r)
+        return (total.astype(jnp.float32) +
+                1e3 * overflow.astype(jnp.float32) +
+                1e-9 * contacts.sum(dtype=jnp.int32).astype(jnp.float32))
+
+    # sanity: exact totals + no overflow before timing
+    s = ib.bsphere_from_triangles(p1, p2, p3)
+    bvh = ib.build(s, ib.BBox)
+    total, contacts, ov, _ = traverse_tiles_fixed(bvh, cap_c, alg=alg)
+    assert int(ov) == 0, f"contact overflow bits {int(ov)}"
+    rtotal, _, rov, _ = traverse_rays_tiles_fixed(bvh0, pr, dr,
+                                                  capacity=cap_r)
+    assert int(rov) == 0, f"ray overflow bits {int(rov)}"
+    print(f"# sanity: {int(total)} contacts, {int(rtotal)} ray hits, "
+          f"no overflow", flush=True)
+
+    ref = {"volumes": (0.92, None), "build": (2.631, 0.410),
+           "contact": (19.7, 1.14), "rays": (113.8, 2.00)}
+    rows = [("volumes", s_volumes, (p1, p2, p3)),
+            ("build", s_build, (p1, p2, p3)),
+            ("contact", s_contact, (p1, p2, p3)),
+            ("rays", s_rays, (pr, dr))]
+    print(f"# {N_TRI} triangles, {N_RAYS} rays — chained ms "
+          f"(vs M3 Max 4-thread / A100)", flush=True)
+    for name, fn, args in rows:
+        ms = timed(fn, *args)
+        m3, a100 = ref[name]
+        a100s = f"{a100:8.3f}" if a100 is not None else "       —"
+        print(f"{name:8s} {ms:8.2f} ms   | M3Max4 {m3:8.3f}   "
+              f"A100 {a100s}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

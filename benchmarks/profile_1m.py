@@ -149,31 +149,36 @@ def main():
                     tuple(w[start * W:(start + CHUNK) * W] for w in bm_grp),
                     ns_c.reshape(1).astype(jnp.int32), fields,
                     mask_kind="sphere", G=G, W=W, R=R, NB=NB, dedup=True,
-                    interpret=INTERP)
+                    interpret=INTERP, with_colmax=True)
 
             cnt_parts.append(jax.lax.cond(
                 ns_c > 0, run_chunk,
-                lambda: jnp.zeros((CHUNK * W * R,), jnp.int32)))
-        counts = jax.lax.optimization_barrier(jnp.concatenate(cnt_parts))
-        return bvh, fields, a_idx, run_idx, bm_grp, counts
+                lambda: (jnp.zeros((CHUNK * W * R,), jnp.int32),
+                         jnp.zeros((CHUNK * W * R,), jnp.int32))))
+        counts, colmax = jax.lax.optimization_barrier(
+            (jnp.concatenate([p[0] for p in cnt_parts]),
+             jnp.concatenate([p[1] for p in cnt_parts])))
+        return bvh, fields, a_idx, run_idx, bm_grp, counts, colmax
 
     S2_cap, CHUNK2 = _step_caps(T_tiles + capacity // (8 * W2))
     E2_cap = max(4096, capacity // 8)
 
     def s_regroup(q1, q2, q3):
-        bvh, fields, a_idx, run_idx, bm_grp, counts = _counts(q1, q2, q3)
+        bvh, fields, a_idx, run_idx, bm_grp, counts, colmax = \
+            _counts(q1, q2, q3)
         a2, b2, ns2, over2 = _regroup_emit_runs(
             a_idx, run_idx, bm_grp, counts, W2, S2_cap, E2_cap,
-            T_tiles, R, NB)
+            T_tiles, R, NB, colmax=colmax)
         return (a2.sum().astype(jnp.float32) + b2[0] +
                 ns2.astype(jnp.float32))
 
     def s_emit(q1, q2, q3):
         from implicitbvh_tpu.ops.tile_contact import tile_group_emit
-        bvh, fields, a_idx, run_idx, bm_grp, counts = _counts(q1, q2, q3)
+        bvh, fields, a_idx, run_idx, bm_grp, counts, colmax = \
+            _counts(q1, q2, q3)
         a2, b2, ns2, over2 = _regroup_emit_runs(
             a_idx, run_idx, bm_grp, counts, W2, S2_cap, E2_cap,
-            T_tiles, R, NB)
+            T_tiles, R, NB, colmax=colmax)
         dep = jnp.float32(0)
         for start in range(0, S2_cap, CHUNK2):
             ns_c = jnp.clip(ns2 - start, 0, CHUNK2)
@@ -199,10 +204,12 @@ def main():
     # count and nothing may overflow (a TPU-only phase-1 cap overflow once
     # inflated counts 5x while every checksum-only timing looked fine)
     from implicitbvh_tpu.ops.tile_contact import ABLATE
-    if "nomask" in ABLATE:
-        print("# WARNING: nomask attribution run — counts are wrong by "
-              "design, sanity skipped; only kernel-stage timing is "
-              "meaningful", flush=True)
+    wrong = {"nomask", "emit_nomask", "emit_noslow", "emit_nofast",
+             "emit_noappend"} & ABLATE
+    if wrong:
+        print(f"# WARNING: attribution run ({sorted(wrong)}) — results "
+              "wrong by design, sanity skipped; only the targeted stage "
+              "timing is meaningful", flush=True)
     else:
         s = ib.bsphere_from_triangles(p1, p2, p3)
         bvh = ib.build(s, ib.BBox)

@@ -101,14 +101,21 @@ def main():
     pad_run = (-(-T // R) * R) // R
     mask_kind = "ray_sphere" if sphere else "ray_box"
 
-    # sanity before timing
-    total, contacts, ov, nc = traverse_rays_tiles_fixed(
-        bvh, pr, dr, capacity, alg=alg)
-    assert int(ov) == 0, f"overflow bits {int(ov)}"
-    hits = set(map(tuple, np.asarray(contacts[:int(total)]).tolist()))
-    assert len(hits) == int(total), "duplicate hits"
-    print(f"# sanity: {int(total)} unique hits, no overflow, "
-          f"num_checks {int(nc):,}", flush=True)
+    # sanity before timing (skipped for wrong-by-design attribution runs)
+    from implicitbvh_tpu.ops.tile_contact import ABLATE
+    wrong = {"nomask", "emit_nomask", "emit_noslow", "emit_nofast",
+             "emit_noappend"} & ABLATE
+    if wrong:
+        print(f"# WARNING: attribution run ({sorted(wrong)}) — contacts "
+              "wrong by design, sanity skipped", flush=True)
+    else:
+        total, contacts, ov, nc = traverse_rays_tiles_fixed(
+            bvh, pr, dr, capacity, alg=alg)
+        assert int(ov) == 0, f"overflow bits {int(ov)}"
+        hits = set(map(tuple, np.asarray(contacts[:int(total)]).tolist()))
+        assert len(hits) == int(total), "duplicate hits"
+        print(f"# sanity: {int(total)} unique hits, no overflow, "
+              f"num_checks {int(nc):,}", flush=True)
 
     def _prep(q, d2):
         p, d = _prep_rays(q, d2, bvh.leaves.volume.dtype)
@@ -145,27 +152,31 @@ def main():
                           for w in bm_grp),
                     ns_c.reshape(1).astype(jnp.int32), rfields, fields,
                     mask_kind=mask_kind, G=G, W=W, R=R, NB=NB,
-                    dedup=False, interpret=INTERP)
+                    dedup=False, interpret=INTERP, with_colmax=True)
 
             cnt_parts.append(jax.lax.cond(
                 ns_c > 0, run_chunk,
-                lambda: jnp.zeros((CHUNK * W * R,), jnp.int32)))
-        counts = jax.lax.optimization_barrier(jnp.concatenate(cnt_parts))
-        return rfields, perm, a_idx, run_idx, bm_grp, nsteps, counts
+                lambda: (jnp.zeros((CHUNK * W * R,), jnp.int32),
+                         jnp.zeros((CHUNK * W * R,), jnp.int32))))
+        counts, colmax = jax.lax.optimization_barrier(
+            (jnp.concatenate([p[0] for p in cnt_parts]),
+             jnp.concatenate([p[1] for p in cnt_parts])))
+        return rfields, perm, a_idx, run_idx, bm_grp, nsteps, counts, colmax
 
     def s_kernel(q, d2):
         out = _counts(q, d2)
-        counts = out[-1]
-        return counts.sum().astype(jnp.float32)
+        counts, colmax = out[-2], out[-1]
+        return (counts.sum() + colmax[0]).astype(jnp.float32)
 
     S2_cap, CHUNK2 = _step_caps(RT + capacity // W2)
     E2_cap = max(4096, capacity // 2)
 
     def _regroup(q, d2):
-        rfields, perm, a_idx, run_idx, bm_grp, nsteps, counts = \
+        rfields, perm, a_idx, run_idx, bm_grp, nsteps, counts, colmax = \
             _counts(q, d2)
         a_idx2, b_idx2, nsteps2, over2 = _regroup_emit_runs(
-            a_idx, run_idx, bm_grp, counts, W2, S2_cap, E2_cap, T, R, NB)
+            a_idx, run_idx, bm_grp, counts, W2, S2_cap, E2_cap, T, R, NB,
+            colmax=colmax)
         return rfields, perm, a_idx2, b_idx2, nsteps2
 
     def s_regroup(q, d2):

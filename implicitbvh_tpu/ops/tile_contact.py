@@ -485,7 +485,8 @@ def _stream_flush(stage_gi, stage_gj, gi_hbm, gj_hbm, sems, cur_ref,
 
 
 def _run_count_kernel(mask_kind: str, G: int, W: int, R: int, NB: int,
-                      PB: int, dedup: bool, *prefetch_and_refs):
+                      PB: int, dedup: bool, moments: bool,
+                      *prefetch_and_refs):
     """Count kernel over aligned b-tile *runs*: one (R, 8, G) DMA covers R
     consecutive b tiles.
 
@@ -520,13 +521,17 @@ def _run_count_kernel(mask_kind: str, G: int, W: int, R: int, NB: int,
     refs = prefetch_and_refs[3 + NW:]
     aref = refs[0]
     brefs = refs[1:1 + W]
-    out = refs[1 + W]          # (1, W * R, 128) per-pair lane-count rows
+    out = refs[1 + W]          # (1, W * R, {128|256}) per-pair lane rows
+    acc = refs[2 + W]          # (AH, {G|3G}) int32 band accumulator scratch
     BH = G // NB
+    AH = min(8, BH)
+
+    OL = 256 if moments else 128   # output lanes per pair row
 
     s = pl.program_id(0)
     step_valid = s < nsteps_ref[0]
 
-    out[0, :, :] = jnp.zeros((W * R, 128), jnp.int32)
+    out[0, :, :] = jnp.zeros((W * R, OL), jnp.int32)
 
     @pl.when(step_valid)
     def _():
@@ -553,13 +558,49 @@ def _run_count_kernel(mask_kind: str, G: int, W: int, R: int, NB: int,
                             b_blk = b_blk[(t % 2) * 4:(t % 2) * 4 + 4]
                         tj = base * R + t
                         k = w * R + t
+
+                        # Per live band the mask folds into an (AH, G)
+                        # scratch with BH//AH static-slice adds — no
+                        # cross-sublane reduction per band (that
+                        # cast+reduce+accumulate was the fixed overhead
+                        # that made finer bands lose wall-clock while
+                        # cutting checks, VERDICT r4 weak #3); the single
+                        # sublane reduce runs once per live pair below.
+                        # With ``moments`` the i and i^2 column moments
+                        # accumulate alongside (int32-exact; the decode
+                        # path reconstructs both contacts of every
+                        # column with <= 2 from cc/is/d — see
+                        # tile_run_counts' docstring).
+                        def fold(x):
+                            part = x[0:AH]
+                            for a2 in range(1, BH // AH):
+                                part = part + x[a2 * AH:(a2 + 1) * AH]
+                            return part
+
+                        PS = max(G, 128)    # fixed accumulator plane pitch
+
+                        def accum(m, r):
+                            mi32 = m.astype(jnp.int32)
+                            acc[:, 0:G] = acc[:, 0:G] + fold(mi32)
+                            if moments:
+                                wt = jax.lax.broadcasted_iota(
+                                    jnp.int32, (BH, G), 0) + r * BH
+                                mw = mi32 * wt
+                                acc[:, PS:PS + G] = \
+                                    acc[:, PS:PS + G] + fold(mw)
+                                acc[:, 2 * PS:2 * PS + G] = \
+                                    acc[:, 2 * PS:2 * PS + G] + \
+                                    fold(mw * wt)
+
+                        AW = 3 * PS if moments else PS
+                        acc[:, :] = jnp.zeros((AH, AW), jnp.int32)
                         for r in range(NB):
                             @pl.when(((bm_t >> r) & 1) != 0)
                             def _(r=r, b_blk=b_blk, tj=tj, k=k):
                                 if "nomask" in ABLATE:
                                     # timing attribution only: skip the
                                     # VPU mask, keep DMAs/branches/output
-                                    out[0, k, 0:G] = out[0, k, 0:G] + 1
+                                    acc[:, 0:G] = acc[:, 0:G] + 1
                                     return
                                 m = _band_mask(mask_kind, cols, b_blk,
                                                r * BH, BH)
@@ -573,37 +614,52 @@ def _run_count_kernel(mask_kind: str, G: int, W: int, R: int, NB: int,
                                     # applies under a scalar branch
                                     # (~4% of pairs at 1M)
                                     @pl.when(tj == ti)
-                                    def _(m=m, k=k, r=r):
+                                    def _(m=m, r=r):
                                         tri = (jax.lax.broadcasted_iota(
                                             jnp.int32, (BH, G), 1) >
                                             r * BH +
                                             jax.lax.broadcasted_iota(
                                                 jnp.int32, (BH, G), 0))
-                                        out[0, k, 0:G] = (
-                                            out[0, k, 0:G] + jnp.sum(
-                                                (m & tri).astype(jnp.int32),
-                                                axis=0))
+                                        accum(m & tri, r)
 
                                     @pl.when(tj != ti)
-                                    def _(m=m, k=k):
-                                        out[0, k, 0:G] = (
-                                            out[0, k, 0:G] + jnp.sum(
-                                                m.astype(jnp.int32),
-                                                axis=0))
+                                    def _(m=m, r=r):
+                                        accum(m, r)
                                 else:
-                                    out[0, k, 0:G] = (
-                                        out[0, k, 0:G] + jnp.sum(
-                                            m.astype(jnp.int32), axis=0))
+                                    accum(m, r)
+                        if not moments:
+                            out[0, k, 0:G] = jnp.sum(
+                                acc[:, 0:G], axis=0)
+                        else:
+                            s3 = jnp.sum(acc[:, :], axis=0)   # (3*PS,)
+                            cc = s3[0:G]
+                            is_ = s3[PS:PS + G]
+                            iq = s3[2 * PS:2 * PS + G]
+                            # d = |i1 - i2| for cc == 2 columns (exact:
+                            # 2*iq - is^2 is a perfect square < 2^17);
+                            # garbage for cc >= 3 columns, which the
+                            # decode never reads (colmax gate)
+                            d2 = jnp.maximum(2 * iq - is_ * is_, 0)
+                            d = jnp.sqrt(d2.astype(jnp.float32)
+                                         ).astype(jnp.int32)
+                            ccc = jnp.minimum(cc, 3)
+                            # fixed 128-lane planes: cc at [0, 128), the
+                            # packed decode word at [128, 256)
+                            out[0, k, 0:G] = cc
+                            out[0, k, 128:128 + G] = \
+                                (ccc << 16) | (jnp.minimum(is_, 511)
+                                               << 7) | jnp.minimum(d, 127)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("mask_kind", "G", "W", "R", "NB", "dedup",
-                     "interpret"))
+                     "interpret", "reduce", "with_colmax", "moments"))
 def tile_run_counts(a_idx, b_idx, bm_words, nsteps, a_fields,
                     b_fields=None, *, mask_kind: str, G: int, W: int = 8,
                     R: int = 8, NB: int = N_BANDS, dedup: bool = False,
-                    interpret: bool = False):
+                    interpret: bool = False, reduce: bool = True,
+                    with_colmax: bool = False, moments: bool = False):
     """Run the run-block count kernel (see _run_count_kernel).
 
     - ``a_idx``: (S_cap,) int32 a-tile index per step.
@@ -616,6 +672,18 @@ def tile_run_counts(a_idx, b_idx, bm_words, nsteps, a_fields,
 
     Returns ``counts`` (S_cap * W * R,) int32: exact contact counts of
     every (step, w, t) tile pair (zero for dead tiles/pads).
+
+    ``moments=True`` additionally captures, per (pair, b-leaf) column of
+    the mask, the count cc, the a-row-index sum ``is`` and the row-index
+    spread ``d = |i1 - i2|`` (from the exact int32 second moment) — for
+    any column with cc <= 2 the contact rows are exactly
+    ``i1 = (is - d) / 2, i2 = (is + d) / 2`` (cc == 1: i1 = is).  Output
+    rows widen to 256 lanes: [0, 128) the cc plane, [128, 256) the packed
+    decode word ``min(cc,3) << 16 | min(is,511) << 7 | min(d,127)``.
+    Returns ``(counts, colmax, raw)`` where ``raw`` is the full
+    (S_cap, W*R, 256) array — the XLA moment-decode path
+    (traverse/tiles._moment_decode) turns it into contacts with no emit
+    kernel at all for colmax <= 2 pairs.
     """
     S_cap = a_idx.shape[0]
     if b_fields is None:
@@ -678,29 +746,48 @@ def tile_run_counts(a_idx, b_idx, bm_words, nsteps, a_fields,
             (R // PB, 8, G),
             lambda s, ai, bi, *rest, w=w: (bi[s * W + w] & 0xFFFF, 0, 0))
 
+    OL = 256 if moments else 128
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3 + NW,
         grid=(S_cap,),
         in_specs=[a_spec] + [b_spec(w) for w in range(W)],
         out_specs=[
-            pl.BlockSpec((1, W * R, 128), lambda s, *_: (s, 0, 0)),
+            pl.BlockSpec((1, W * R, OL), lambda s, *_: (s, 0, 0)),
         ],
+        scratch_shapes=[pltpu.VMEM(
+            (min(8, G // NB),
+             (3 if moments else 1) * max(G, 128)), jnp.int32)],
     )
 
     kernel = functools.partial(_run_count_kernel, mask_kind, G, W, R, NB,
-                               PB, dedup)
+                               PB, dedup, moments)
     (out,) = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((S_cap, W * R, 128), jnp.int32),
+            jax.ShapeDtypeStruct((S_cap, W * R, OL), jnp.int32),
         ],
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(a_idx, b_idx, *bm_words, nsteps, a_packed, *([b_packed] * W))
+    if not reduce:
+        # diagnostic: raw per-(pair, b-leaf) column counts (sum over mask
+        # sublanes only) — used by the diag scripts to histogram per-column
+        # contact multiplicities
+        return out
+    cc_plane = out[:, :, 0:128] if moments else out
     # reduce lanes in XLA (the kernel stays free of cross-lane reductions)
-    return out.sum(axis=2, dtype=jnp.int32).reshape(S_cap * W * R)
+    counts = cc_plane.sum(axis=2, dtype=jnp.int32).reshape(S_cap * W * R)
+    if moments:
+        colmax = cc_plane.max(axis=2).reshape(S_cap * W * R)
+        return counts, colmax, out
+    if with_colmax:
+        # per-pair max column multiplicity (same fused read pass as the
+        # sum): colmax <= 2 routes the pair to the emit kernel's exact
+        # column-moment compaction instead of the one-hot machinery
+        return counts, cc_plane.max(axis=2).reshape(S_cap * W * R)
+    return counts
 
 
 def _group_emit_kernel(mask_kind: str, G: int, W: int, ROW_CAP: int,
@@ -750,19 +837,20 @@ def _group_emit_kernel(mask_kind: str, G: int, W: int, ROW_CAP: int,
             # CAP_PAIR is flagged on the XLA side from kernel A's counts;
             # clamp keeps the stage select in its two-row window)
             cur = cur_ref[0]
-            sh = jax.lax.rem(cur, jnp.int32(128))
-            row0 = jax.lax.rem(cur // 128, jnp.int32(_STAGE_ROWS))
-            row1 = jax.lax.rem(row0 + 1, jnp.int32(_STAGE_ROWS))
-            rgi = pltpu.roll(gi_row, sh, axis=1)
-            rgj = pltpu.roll(gj_row, sh, axis=1)
-            m_st = ((ri == row0) & (li >= sh) & (li < sh + cnt_c)) | \
-                   ((ri == row1) & (li < sh + cnt_c - 128))
-            stage_gi[:, :] = jnp.where(
-                m_st, jnp.broadcast_to(rgi, (_STAGE_ROWS, 128)),
-                stage_gi[:, :])
-            stage_gj[:, :] = jnp.where(
-                m_st, jnp.broadcast_to(rgj, (_STAGE_ROWS, 128)),
-                stage_gj[:, :])
+            if "emit_noappend" not in ABLATE:
+                sh = jax.lax.rem(cur, jnp.int32(128))
+                row0 = jax.lax.rem(cur // 128, jnp.int32(_STAGE_ROWS))
+                row1 = jax.lax.rem(row0 + 1, jnp.int32(_STAGE_ROWS))
+                rgi = pltpu.roll(gi_row, sh, axis=1)
+                rgj = pltpu.roll(gj_row, sh, axis=1)
+                m_st = ((ri == row0) & (li >= sh) & (li < sh + cnt_c)) | \
+                       ((ri == row1) & (li < sh + cnt_c - 128))
+                stage_gi[:, :] = jnp.where(
+                    m_st, jnp.broadcast_to(rgi, (_STAGE_ROWS, 128)),
+                    stage_gi[:, :])
+                stage_gj[:, :] = jnp.where(
+                    m_st, jnp.broadcast_to(rgj, (_STAGE_ROWS, 128)),
+                    stage_gj[:, :])
             new_cur = cur + cnt_c
             cur_ref[0] = new_cur
 
@@ -776,17 +864,38 @@ def _group_emit_kernel(mask_kind: str, G: int, W: int, ROW_CAP: int,
             tj = bw & 0xFFFF
             bm = (bw >> 16) & ((1 << N_BANDS) - 1)
             cnt = (bw >> 20) & 0xFF
+            # bit 28: every column of this pair's mask holds <= 2 contacts
+            # (computed by the XLA regroup from the count kernel's raw
+            # per-column rows) — routes to the column-moment compaction
+            if "emit_nocol" in ABLATE or "emit_nofast" in ABLATE:
+                okc = jnp.int32(0)
+            else:
+                okc = (bw >> 28) & 1
             b_blk = brefs[w][0]
 
             @pl.when(cnt > 0)
             def _(w=w, tj=tj, bm=bm, cnt=cnt, b_blk=b_blk):
-                mscr[:, :] = jnp.zeros((G, G), jnp.float32)
-                for r in range(N_BANDS):
-                    @pl.when(((bm >> r) & 1) != 0)
-                    def _(r=r):
-                        m = _band_mask(mask_kind, cols, b_blk, r * BH, BH)
-                        mscr[r * BH:(r + 1) * BH, :] = m.astype(jnp.float32)
-                mi = mscr[:, :]
+                if "emit_nomask" in ABLATE:
+                    # timing attribution only (WRONG contacts): charge no
+                    # mask/scratch work, keep the compaction + append
+                    mi = mscr[:, :]
+                elif "emit_scratchless" in ABLATE:
+                    # variant: unconditional full mask in registers — no
+                    # (G, G) scratch roundtrip, no per-band branches (emit
+                    # only sees hit-bearing pairs, so dead-band savings
+                    # are smaller than in the count kernel)
+                    mi = _band_mask(mask_kind, cols, b_blk, 0, G
+                                    ).astype(jnp.float32)
+                else:
+                    mscr[:, :] = jnp.zeros((G, G), jnp.float32)
+                    for r in range(N_BANDS):
+                        @pl.when(((bm >> r) & 1) != 0)
+                        def _(r=r):
+                            m = _band_mask(mask_kind, cols, b_blk,
+                                           r * BH, BH)
+                            mscr[r * BH:(r + 1) * BH, :] = \
+                                m.astype(jnp.float32)
+                    mi = mscr[:, :]
                 if dedup:
                     # phase 1 guarantees ti <= tj, so gj > gi reduces to
                     # the local triangle on the diagonal pair only
@@ -799,7 +908,9 @@ def _group_emit_kernel(mask_kind: str, G: int, W: int, ROW_CAP: int,
                 # live here (59% of hit-bearing pairs carry cnt == 1 at
                 # 100k x 262k; the (ROW_CAP, G, G) onehot machinery was
                 # ~1 us/pair, ~110 ms of the ray total).
-                @pl.when(cnt == 1)
+                one_c = jnp.int32(0 if "emit_nofast" in ABLATE else 1)
+
+                @pl.when(cnt == one_c)
                 def _(mi=mi, tj=tj):
                     f32 = jnp.float32
                     ones_g = jnp.ones((1, G), f32)
@@ -828,82 +939,89 @@ def _group_emit_kernel(mask_kind: str, G: int, W: int, ROW_CAP: int,
                         gj1 = jnp.concatenate([gj1, z], axis=1)
                     append(gi1, gj1, jnp.int32(1))
 
-                # cnt == 2: both contacts are exact functions of the mask
-                # moments (every quantity is an integer < 2^16, f32 sqrt
-                # of a perfect square and the divide-out of (i1 - i2) are
-                # IEEE-exact): S/Q give the two row indices via the
-                # quadratic, the cross moment P = sum(m * i * j) pairs the
-                # columns.  Another ~34% of ray hit-bearing pairs.
-                @pl.when(cnt == 2)
-                def _(mi=mi, tj=tj):
+                # cnt >= 2 with every mask column holding <= 2 contacts
+                # (the okc flag; always true for cnt == 2): both contacts
+                # of each live column come exactly from the column moments
+                # cc/is/iq (integers; the quadratic's sqrt of a perfect
+                # square and halvings are IEEE-exact), and the (1, G)
+                # column vectors compact with a dual one-hot — 4 matmul
+                # launches total vs the (ROW_CAP, G, G) one-hot machinery
+                # (~1 us/pair).  Covers ~99.5% of 1M self-contact pairs
+                # and ~all ray pairs (benchmarks/diag_1m.py, diag_rays.py).
+                # The second-moment weights reach 127^2 — beyond bf16's
+                # exact-integer range — so they ride <= 127 hi/lo split
+                # fields (measured on-chip: unsplit DEFAULT passes rounded
+                # the moments and emitted wrong contacts).
+                two_min = jnp.int32(1 if "emit_nofast" in ABLATE else 2)
+
+                @pl.when((cnt >= two_min) & (okc == 1))
+                def _(mi=mi, tj=tj, cnt=cnt):
                     f32 = jnp.float32
                     ones_g = jnp.ones((1, G), f32)
-                    ones_m = jnp.ones((G, G), f32)
                     sf = sub.astype(f32)
-                    lf = lane.astype(f32)
+                    hi = jnp.floor(sf * sf * (1.0 / 128.0))
+                    lo = sf * sf - hi * 128.0
+                    X = jnp.concatenate(
+                        [mi, mi * sf, mi * hi, mi * lo], axis=1)  # (G, 4G)
+                    mom = jax.lax.dot_general(
+                        ones_g, X,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=f32)               # (1, 4G)
+                    cc = mom[:, 0:G]
+                    is_ = mom[:, G:2 * G]
+                    iq = 128.0 * mom[:, 2 * G:3 * G] + mom[:, 3 * G:4 * G]
+                    d = jnp.sqrt(jnp.maximum(2.0 * iq - is_ * is_, 0.0))
+                    two = cc == 2.0
+                    live1 = cc >= 1.0
+                    i1 = jnp.where(two, (is_ - d) * 0.5, is_)
+                    i2 = (is_ + d) * 0.5
+                    ltri = jnp.where(sub > lane, 1.0, 0.0)
+                    pos = jax.lax.dot_general(
+                        cc, ltri,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=f32)   # (1, G) excl prefix
+                    # one-hot rows span all 128 output lanes (not
+                    # CAP_PAIR): the matmul then yields (2, 128) rows
+                    # directly — the (1, CAP_PAIR) ‖ (1, 128-CAP_PAIR)
+                    # concatenate of the slow path is a Mosaic layout
+                    # trap here (the dot_general slices carry a sublane
+                    # offset; "offset mismatch on non-concat dimension").
+                    # Lanes >= min(cnt, CAP_PAIR) are dead: the append
+                    # stage masks li < cnt_c, identical to the slow
+                    # path's truncation.
+                    kcol = jax.lax.broadcasted_iota(
+                        jnp.int32, (128, G), 0).astype(f32)
+                    M1 = jnp.where((kcol == pos) & live1, 1.0, 0.0)
+                    M2 = jnp.where((kcol == pos + 1.0) & two, 1.0, 0.0)
+                    jf = jax.lax.broadcasted_iota(
+                        jnp.int32, (1, G), 1).astype(f32)
+                    V1 = jnp.concatenate(
+                        [jnp.where(live1, i1, 0.0),
+                         jnp.where(live1, jf, 0.0)], axis=0)      # (2, G)
+                    V2 = jnp.concatenate(
+                        [jnp.where(two, i2, 0.0),
+                         jnp.where(two, jf, 0.0)], axis=0)
+                    P1 = jax.lax.dot_general(
+                        V1, M1, dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=f32)       # (2, 128)
+                    P2 = jax.lax.dot_general(
+                        V2, M2, dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=f32)
+                    gi_row = (ti * G).astype(f32) + (P1[0:1] + P2[0:1])
+                    gj_row = (tj * G).astype(f32) + (P1[1:2] + P2[1:2])
+                    append(gi_row, gj_row, jnp.minimum(cnt, CAP_PAIR))
 
-                    def tot(x):
-                        # DEFAULT-precision (bf16-pass) matmul chain:
-                        # callers keep every operand value <= 255 (exact
-                        # in bf16's 8-bit mantissa; cnt == 2 bounds row
-                        # sums at 2 x 127)
-                        rs = jax.lax.dot_general(
-                            ones_g, x,
-                            dimension_numbers=(((1,), (1,)), ((), ())),
-                            preferred_element_type=f32)
-                        return jax.lax.dot_general(
-                            rs, ones_m,
-                            dimension_numbers=(((1,), (0,)), ((), ())),
-                            preferred_element_type=f32)     # (1, G) repl
+                slow_min = jnp.int32(1 if "emit_nofast" in ABLATE else 2)
 
-                    def tot_big(w):
-                        # second-moment weights reach 127^2 — beyond
-                        # bf16's exact-integer range, so split the weight
-                        # into <= 127 hi/lo fields and recombine in f32
-                        # (measured on-chip: unsplit DEFAULT passes
-                        # rounded the moments and emitted wrong contacts)
-                        hi = jnp.floor(w * (1.0 / 128.0))
-                        lo = w - hi * 128.0
-                        return 128.0 * tot(mi * hi) + tot(mi * lo)
-
-                    si_t = tot(mi * sf)
-                    qi_t = tot_big(sf * sf)
-                    sj_t = tot(mi * lf)
-                    qj_t = tot_big(lf * lf)
-                    pij_t = tot_big(sf * lf)
-                    di = jnp.sqrt(jnp.maximum(2.0 * qi_t - si_t * si_t,
-                                              0.0))
-                    i1 = (si_t - di) * 0.5
-                    i2 = (si_t + di) * 0.5
-                    dj = jnp.sqrt(jnp.maximum(2.0 * qj_t - sj_t * sj_t,
-                                              0.0))
-                    # same row (di == 0): columns from the j quadratic;
-                    # distinct rows: j1 = (P - i2*Sj) / (i1 - i2), exact
-                    same = di < 0.5
-                    j1_d = (pij_t - i2 * sj_t) / jnp.where(same, 1.0,
-                                                           i1 - i2)
-                    j1 = jnp.where(same, (sj_t - dj) * 0.5, j1_d)
-                    j2 = jnp.where(same, (sj_t + dj) * 0.5, sj_t - j1)
-                    l2 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-                    tif = (ti * G).astype(f32)
-                    tjf = (tj * G).astype(f32)
-
-                    def two_lane(v1, v2, base):
-                        v1p = v1
-                        v2p = v2
-                        if G < 128:
-                            z = jnp.zeros((1, 128 - G), jnp.float32)
-                            v1p = jnp.concatenate([v1p, z], axis=1)
-                            v2p = jnp.concatenate([v2p, z], axis=1)
-                        return jnp.where(
-                            l2 == 0, base + v1p,
-                            jnp.where(l2 == 1, base + v2p, 0.0))
-
-                    append(two_lane(i1, i2, tif), two_lane(j1, j2, tjf),
-                           jnp.int32(2))
-
-                @pl.when(cnt > 2)
+                @pl.when((cnt >= slow_min) & (okc == 0))
                 def _(mi=mi, tj=tj, cnt=cnt):
+                    if "emit_noslow" in ABLATE:
+                        # timing attribution only (WRONG contacts): skip
+                        # the one-hot compaction, append constant rows
+                        append(jnp.zeros((1, 128), jnp.float32),
+                               jnp.zeros((1, 128), jnp.float32),
+                               jnp.minimum(cnt, CAP_PAIR))
+                        return
                     gi_row, gj_row, over_row = _pair_compact_vrows(
                         G, ROW_CAP, CAP_PAIR, ti, tj, mi)
                     over_scr[0, 0:G] = over_scr[0, 0:G] + over_row[0, :]

@@ -26,19 +26,22 @@ class BVHOptions:
     - ``morton``: the Morton encoding algorithm object.
     - ``capacity_growth``: when a traversal's contact/frontier buffer
       overflows its static capacity, the Python wrapper re-runs with capacity
-      scaled by this factor (the TPU analogue of ``resize!``).
+      scaled by this factor (the TPU analogue of ``resize!``) — honored by
+      the BFS frontier growth and by every tile-engine wrapper's
+      capacity/pair-capacity growth loop (buffers round up to the engines'
+      alignment quanta, so the effective factor is >= this value).
     - ``min_capacity``: smallest contact-buffer capacity to compile for.
-    - ``block_size``: Pallas tile size hint for the custom kernels.
     """
 
     index_bits: int = 32
     morton: MortonAlgorithm = DefaultMortonAlgorithm(bits=32)
     capacity_growth: float = 2.0
     min_capacity: int = 64
-    block_size: int = 256
-    # Accepted for migration parity with the reference's CPU threading knobs
-    # (ref src/utils.jl:43-47); XLA owns scheduling on TPU, so these are
+    # Accepted for migration parity with the reference's GPU block size and
+    # CPU threading knobs (ref src/utils.jl:43-56); XLA owns scheduling on
+    # TPU and Pallas tile sizes live in TileTraversal, so these are
     # validated but otherwise ignored.
+    block_size: int = 256
     num_threads: int = 1
     min_mortons_per_thread: int = 100
     min_sorts_per_thread: int = 100

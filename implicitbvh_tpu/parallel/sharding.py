@@ -323,12 +323,15 @@ def sharded_tile_self_contact(mesh: Mesh, bvh: BVH,
                           for w in bm_flat),
                     ns_c.reshape(1).astype(jnp.int32), fields_rep,
                     mask_kind=mask_kind, G=G, W=W, R=R, NB=NB,
-                    dedup=True, interpret=interpret)
+                    dedup=True, interpret=interpret, with_colmax=True)
 
             cnt_parts.append(jax.lax.cond(
                 ns_c > 0, run_chunk,
-                lambda: jnp.zeros((CHUNK * W * R,), jnp.int32)))
-        counts = jax.lax.optimization_barrier(jnp.concatenate(cnt_parts))
+                lambda: (jnp.zeros((CHUNK * W * R,), jnp.int32),
+                         jnp.zeros((CHUNK * W * R,), jnp.int32))))
+        counts, colmax = jax.lax.optimization_barrier(
+            (jnp.concatenate([p[0] for p in cnt_parts]),
+             jnp.concatenate([p[1] for p in cnt_parts])))
         slot_overflow = jnp.any(counts > alg.pair_cap)
 
         W2 = alg.emit_w
@@ -337,7 +340,8 @@ def sharded_tile_self_contact(mesh: Mesh, bvh: BVH,
         S2_cap, CHUNK2 = _step_caps(S_loc + cap_stream // (8 * W2))
         E2_cap = max(4096, cap_stream // 8)
         a_idx2, b_idx2, nsteps2, over2 = _regroup_emit_runs(
-            a_loc, b_flat, bm_flat, counts, W2, S2_cap, E2_cap, T, R, NB)
+            a_loc, b_flat, bm_flat, counts, W2, S2_cap, E2_cap, T, R, NB,
+            colmax=colmax)
         cap_overflow = (nsteps2 > S2_cap) | over2
         parts = []
         for start in range(0, S2_cap, CHUNK2):
@@ -392,6 +396,194 @@ def sharded_tile_self_contact(mesh: Mesh, bvh: BVH,
         check_vma=False,
     )
     return fn(fields, leaf_index, leaves, tile_lo, tile_up, sub_lo, sub_up,
+              nsp, p1_over, si, sj)
+
+
+def sharded_tile_pair(mesh: Mesh, bvh1: BVH, bvh2: BVH,
+                      capacity_per_device: int, *,
+                      alg=None, narrow=None, axis: str = AXIS,
+                      interpret: Optional[bool] = None):
+    """Two-BVH tile traversal sharded over the mesh — the multi-chip
+    counterpart of traverse.tiles.traverse_tiles_pair_fixed, built exactly
+    like :func:`sharded_tile_self_contact`: the replicated level-A pass
+    extracts overlapping (supertile-of-bvh1, supertile-of-bvh2) pairs from
+    the full S1 x S2 grid (no triangle — the reference's pair-traversal
+    semantics, ref traverse_pair_cpu.jl:615-645), the superpair list is
+    dealt round-robin across devices, and each device runs band bits ->
+    run packing -> count kernel -> regroup -> emit stream -> extraction
+    on its slice.  A (t1, t2) tile pair lives in exactly one superpair,
+    so per-device contact sets are disjoint.
+
+    Returns ``(total, contacts, counts, overflow)``; ``contacts`` holds
+    tree-order (index-in-bvh1, index-in-bvh2) rows per device slice.
+    """
+    from ..ops.subtile import subtile_band_bits
+    from ..ops.tile_contact import tile_group_emit, tile_run_counts
+    from ..traverse.tiles import (SUPERPAIRS_PER_SUPERTILE, TileTraversal,
+                                  _compact_flat, _finish_contacts,
+                                  _merge_streams, _overlap,
+                                  _pair_capacity_for, _regroup_emit_runs,
+                                  _run_chunk_cap, _runs_from_bits,
+                                  _step_caps, _tiled_fields)
+
+    alg = alg or TileTraversal()
+    G = alg.tile
+    R = alg.run_r
+    NB = alg.bands
+    SS = 32
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    if bvh1.leaf_kind is not bvh2.leaf_kind:
+        raise NotImplementedError(
+            "tile pair traversal requires matching leaf volume kinds")
+    n_dev = mesh.shape[axis]
+    cap_dev = capacity_per_device
+    cap_stream = max(1024, -(-cap_dev // 1024) * 1024)
+    if alg.pair_cap > 128:
+        raise ValueError("sharded tile path needs pair_cap <= 128 "
+                         "(per-pair rows append as one lane row)")
+
+    f1, sphere, tlo1, tup1, asub_lo, asub_up, T1 = _tiled_fields(bvh1, G, NB)
+    f2, _, tlo2, tup2, _, _, T2 = _tiled_fields(bvh2, G)
+    if max(T1, T2) >= 1 << 16:
+        raise ValueError("tile count exceeds 65536; raise the tile size")
+    pair_capacity = _pair_capacity_for((T1 + T2) // 2)
+    W = alg.count_w
+    S_loc, CHUNK = _step_caps(-(-(pair_capacity // W + T1) // n_dev))
+    ch_cap = _run_chunk_cap(W, R, NB)
+    if CHUNK > ch_cap:
+        CHUNK = ch_cap
+        S_loc = -(-S_loc // CHUNK) * CHUNK
+    pad_run = (-(-T2 // R) * R) // R
+    mask_kind = "sphere" if sphere else "box"
+
+    # level A replicated: full S1 x S2 supertile overlap, then the
+    # compacted superpair list dealt round-robin (see the self-contact
+    # path's density-balancing note)
+    def prep(tl, tu):
+        T = tl[0].shape[0]
+        S = -(-T // SS)
+        pad = S * SS - T
+
+        def padt(a, fill):
+            if pad:
+                a = jnp.concatenate([a, jnp.full((pad,), fill, a.dtype)])
+            return a
+        tl = tuple(padt(c, jnp.inf) for c in tl)
+        tu = tuple(padt(c, -jnp.inf) for c in tu)
+        return (tuple(c.reshape(S, SS).min(1) for c in tl),
+                tuple(c.reshape(S, SS).max(1) for c in tu), S)
+
+    slo1, sup1, S1 = prep(tlo1, tup1)
+    slo2, sup2, S2 = prep(tlo2, tup2)
+    ovA = _overlap(slo1, sup1, slo2, sup2)
+    SP_cap = max(S1 * SUPERPAIRS_PER_SUPERTILE,
+                 S2 * SUPERPAIRS_PER_SUPERTILE, 64, pair_capacity // 64)
+    SP_cap = -(-SP_cap // (16 * n_dev)) * (16 * n_dev)
+    kA = jnp.arange(S1 * S2, dtype=jnp.int32)
+    spacked, nsp = _compact_flat(ovA.reshape(-1), kA, SP_cap)
+    p1_over = nsp > SP_cap
+    si = spacked // S2
+    sj = spacked % S2
+    SP_loc = SP_cap // n_dev
+    si = si.reshape(SP_loc, n_dev).T.reshape(-1)   # device-major
+    sj = sj.reshape(SP_loc, n_dev).T.reshape(-1)
+    li1 = bvh1.leaves.index
+    li2 = bvh2.leaves.index
+    l1, l2 = bvh1.leaves, bvh2.leaves
+
+    def local_fn(f1_rep, f2_rep, li1_rep, li2_rep, l1_rep, l2_rep,
+                 tlo2_rep, tup2_rep, sl_rep, su_rep, nsp_rep, p1_over_rep,
+                 si_loc, sj_loc):
+        dev = jax.lax.axis_index(axis)
+        nsp_loc = jnp.clip((nsp_rep - dev + n_dev - 1) // n_dev, 0, SP_loc)
+        bits = subtile_band_bits(
+            sl_rep, su_rep, tlo2_rep, tup2_rep, si_loc, sj_loc,
+            nsp_loc.reshape(1).astype(jnp.int32), Ta=T1, Tb=T2,
+            triangle=False, n_bands=NB, interpret=interpret)[:, :, :SS]
+        a_loc, run_idx, bm_flat, ns_done, _num_checks, p1_ov2 = \
+            _runs_from_bits(bits, si_loc, sj_loc, SS, G, W, S_loc, R,
+                            pad_run, NB)
+        cnt_parts = []
+        for start in range(0, S_loc, CHUNK):
+            ns_c = jnp.clip(ns_done - start, 0, CHUNK)
+
+            def run_chunk(start=start, ns_c=ns_c):
+                return tile_run_counts(
+                    a_loc[start:start + CHUNK],
+                    run_idx[start * W:(start + CHUNK) * W],
+                    tuple(w[start * W:(start + CHUNK) * W]
+                          for w in bm_flat),
+                    ns_c.reshape(1).astype(jnp.int32), f1_rep, f2_rep,
+                    mask_kind=mask_kind, G=G, W=W, R=R, NB=NB,
+                    dedup=False, interpret=interpret, with_colmax=True)
+
+            cnt_parts.append(jax.lax.cond(
+                ns_c > 0, run_chunk,
+                lambda: (jnp.zeros((CHUNK * W * R,), jnp.int32),
+                         jnp.zeros((CHUNK * W * R,), jnp.int32))))
+        counts, colmax = jax.lax.optimization_barrier(
+            (jnp.concatenate([p[0] for p in cnt_parts]),
+             jnp.concatenate([p[1] for p in cnt_parts])))
+        slot_overflow = jnp.any(counts > alg.pair_cap)
+
+        W2 = alg.emit_w
+        S2_cap, CHUNK2 = _step_caps(S_loc + cap_stream // (8 * W2))
+        E2_cap = max(4096, cap_stream // 8)
+        a_idx2, b_idx2, nsteps2, over2 = _regroup_emit_runs(
+            a_loc, run_idx, bm_flat, counts, W2, S2_cap, E2_cap, T2, R,
+            NB, colmax=colmax)
+        cap_overflow = (nsteps2 > S2_cap) | over2
+        parts = []
+        for start in range(0, S2_cap, CHUNK2):
+            ns_c = jnp.clip(nsteps2 - start, 0, CHUNK2)
+
+            def emit_chunk(start=start, ns_c=ns_c):
+                return tile_group_emit(
+                    a_idx2[start:start + CHUNK2],
+                    b_idx2[start * W2:(start + CHUNK2) * W2],
+                    ns_c.reshape(1).astype(jnp.int32), f1_rep, f2_rep,
+                    mask_kind=mask_kind, G=G, W=W2,
+                    ROW_CAP=alg.row_cap, CAP_PAIR=alg.pair_cap,
+                    dedup=False, CAP=cap_stream, interpret=interpret)
+
+            gi_c, gj_c, tot_c, flags_c = jax.lax.cond(
+                ns_c > 0, emit_chunk,
+                lambda: (jnp.zeros((cap_stream,), jnp.float32),
+                         jnp.zeros((cap_stream,), jnp.float32),
+                         jnp.zeros((), jnp.int32),
+                         jnp.zeros((), jnp.int32)))
+            parts.append((gi_c, gj_c, tot_c))
+            cap_overflow = cap_overflow | ((flags_c & 1) > 0)
+            slot_overflow = slot_overflow | ((flags_c & 2) > 0)
+        parts = jax.lax.optimization_barrier(parts)
+        gi_pos, gj_pos, total_d = _merge_streams(parts, cap_stream)
+
+        narrow_fn = None
+        if narrow is not None:
+            def narrow_fn(gi, gj):
+                la = jax.tree_util.tree_map(lambda x: x[gi], l1_rep)
+                lb = jax.tree_util.tree_map(lambda x: x[gj], l2_rep)
+                return narrow(la, lb)
+
+        total_d, contacts_d = _finish_contacts(
+            gi_pos, gj_pos, total_d, li1_rep, narrow_fn, cap_stream,
+            leaf_index_b=li2_rep, sort_pairs=False)
+        contacts_d = contacts_d[:cap_dev]
+        over = slot_overflow | cap_overflow | (total_d > cap_dev) \
+            | p1_over_rep | p1_ov2
+        overflow = jax.lax.psum(over.astype(jnp.int32), axis) > 0
+        return (jax.lax.psum(total_d, axis), contacts_d,
+                total_d.reshape(1), overflow)
+
+    fn = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(), P(), P(), P(), P(), P(),
+                  P(), P(axis), P(axis)),
+        out_specs=(P(), P(axis), P(axis), P()),
+        check_vma=False,
+    )
+    return fn(f1, f2, li1, li2, l1, l2, tlo2, tup2, asub_lo, asub_up,
               nsp, p1_over, si, sj)
 
 

@@ -315,14 +315,17 @@ def traverse_rays_tiles_fixed(bvh: BVH, points, directions, capacity: int, *,
                           for w in bm_grp),
                     ns_c.reshape(1).astype(jnp.int32), rfields, fields,
                     mask_kind=mask_kind, G=G, W=W, R=R, NB=NB,
-                    dedup=False, interpret=interpret)
+                    dedup=False, interpret=interpret, with_colmax=True)
 
             cnt_parts.append(jax.lax.cond(
                 ns_c > 0, run_chunk,
-                lambda: jnp.zeros((CHUNK * W * R,), jnp.int32)))
+                lambda: (jnp.zeros((CHUNK * W * R,), jnp.int32),
+                         jnp.zeros((CHUNK * W * R,), jnp.int32))))
         # barrier: see tiles.py — XLA otherwise re-reads the count
         # kernel's reused output buffer in one of the two consumers
-        counts = jax.lax.optimization_barrier(jnp.concatenate(cnt_parts))
+        counts, colmax = jax.lax.optimization_barrier(
+            (jnp.concatenate([p[0] for p in cnt_parts]),
+             jnp.concatenate([p[1] for p in cnt_parts])))
         slot_overflow = jnp.any(counts > alg.pair_cap)
 
         W2 = alg.emit_w
@@ -337,7 +340,8 @@ def traverse_rays_tiles_fixed(bvh: BVH, points, directions, capacity: int, *,
         S2_cap, CHUNK2 = _step_caps(RT + capacity // W2)
         E2_cap = max(4096, capacity // 4)
         a_idx2, b_idx2, nsteps2, over2 = _regroup_emit_runs(
-            a_idx, run_idx, bm_grp, counts, W2, S2_cap, E2_cap, T, R, NB)
+            a_idx, run_idx, bm_grp, counts, W2, S2_cap, E2_cap, T, R, NB,
+            colmax=colmax)
         cap_overflow = (nsteps2 > S2_cap) | over2
         parts = []
         for start in range(0, S2_cap, CHUNK2):
@@ -454,8 +458,10 @@ def traverse_rays_tiles(bvh: BVH, points, directions, *,
                                 num_checks=int(num_checks),
                                 pair_capacity=pair_capacity, tile_alg=alg)
         if ov & 1:
-            capacity *= 2
-            pair_capacity *= 2
+            from .tiles import _grow_capacity
+            capacity = _grow_capacity(capacity, options.capacity_growth)
+            pair_capacity = _grow_capacity(
+                pair_capacity, options.capacity_growth, 8192)
         if ov & 2:
             alg = _grow_alg(alg)
     # density beyond the VMEM-bounded slot caps: fall back to the walk

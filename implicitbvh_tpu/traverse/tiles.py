@@ -130,6 +130,17 @@ def _fold_sub4(sub_lo, sub_up):
     return lo, up
 
 
+def _grow_capacity(capacity: int, growth: float, quantum: int = 1024) -> int:
+    """Scale a buffer capacity by ``BVHOptions.capacity_growth``, keeping
+    the engines' alignment invariants: small capacities stay powers of two
+    (the pair-granularity path), larger ones round up to ``quantum`` (the
+    two-phase emit stream requires capacity % 1024 == 0).  Always grows."""
+    new = max(int(capacity * growth), capacity + 1)
+    if new <= 1024:
+        return 1 << math.ceil(math.log2(new))
+    return -(-new // quantum) * quantum
+
+
 def _grow_alg(alg: "TileTraversal") -> "TileTraversal":
     """4x slot-cap growth under the VMEM ceilings."""
     return dataclasses.replace(
@@ -478,7 +489,7 @@ def _runs_from_bits(bits, si, sj, SS: int, G: int, W: int, S_cap: int,
                                    "R", "NB"))
 def _regroup_emit_runs(a_idx, run_idx, bm_words, counts, W2: int,
                        S2_cap: int, E2_cap: int, T_pad: int, R: int,
-                       NB: int = 4):
+                       NB: int = 4, colmax=None):
     """Regroup the (tile) pairs with nonzero counts for the emit kernel
     (payload ``tj | band << 16 | cnt << 20``, exactly like _regroup_emit).
 
@@ -514,16 +525,28 @@ def _regroup_emit_runs(a_idx, run_idx, bm_words, counts, W2: int,
     bsel = jnp.asarray([1 << (8 * i) for i in range(4)], jnp.int32)
     cw = [(rcc[:, 4 * q:4 * q + 4] * bsel[None, :]).sum(
         axis=1, dtype=jnp.int32) for q in range(R // 4)]
+    # colmax <= 2 flags pack one bit per tile into a single per-run word
+    # (R <= 32) and ride the sort; they become payload bit 28 (the emit
+    # kernel's column-moment route)
+    if colmax is not None:
+        okb = (colmax.reshape(SW, R) <= 2).astype(jnp.int32)
+        okw = [(okb * (1 << jnp.arange(R, dtype=jnp.int32))[None, :]).sum(
+            axis=1, dtype=jnp.int32)]
+    else:
+        okw = []
     slot = jnp.arange(SW, dtype=jnp.int32)
     key_u = jax.lax.bitcast_convert_type(
         jnp.where(run_live, slot, -1), jnp.uint32)
     ti_slot = jnp.repeat(a_idx, Win)
     sorted_ops = jax.lax.sort(
-        (key_u, ti_slot, run_idx, *bm_words, *cw), num_keys=1)
+        (key_u, ti_slot, run_idx, *bm_words, *cw, *okw), num_keys=1)
     ti_r = sorted_ops[1][:E2c]
     base_r = sorted_ops[2][:E2c] & 0xFFFF
     words_r = [w[:E2c] for w in sorted_ops[3:3 + len(bm_words)]]
-    cw_r = [w[:E2c] for w in sorted_ops[3 + len(bm_words):]]
+    ncw = len(cw)
+    cw_r = [w[:E2c] for w in
+            sorted_ops[3 + len(bm_words):3 + len(bm_words) + ncw]]
+    okw_r = [w[:E2c] for w in sorted_ops[3 + len(bm_words) + ncw:]]
     # expand R-wide
     E = E2c * R
     ti_flat = jnp.repeat(ti_r, R)
@@ -554,9 +577,57 @@ def _regroup_emit_runs(a_idx, run_idx, bm_words, counts, W2: int,
     # tile so the payload's 16-bit field can't overflow near T = 2^16
     tj_c = jnp.where(valid, tj, T_pad)
     payload = tj_c | (band4 << 16) | (cnt << 20)
+    if okw_r:
+        okbit = (jnp.repeat(okw_r[0], R) >> t) & 1
+        payload = payload | (okbit << 28)
     a_idx2, (b_idx2,), nsteps2 = _leader_group(
         ti_flat, valid, (payload,), (T_pad,), W2, S2_cap)
     return a_idx2, b_idx2, nsteps2, over2
+
+
+def _bounds_pyramid(blos, bups, T: int, G: int, NB: int):
+    """Sub-band and tile bounds via the selection-matmul halving pyramid
+    (same MXU pattern as build._aggregate_bbox_fast): the (T, NB, G//NB)
+    reshape-min reductions are lane-shuffle-bound on the VPU (~3 ms of the
+    ~7 ms phase 1 at 1M, VERDICT r4 weak #4), while one 0/1 even/odd
+    selection matmul per halving level runs the same reduction on the MXU.
+    All six bounds stack into one (6, T*G) min-problem (ups negated);
+    HIGHEST precision keeps the f32 selection products bit-exact.
+
+    Requires the pad sentinel to be FINITE (0 * inf = NaN in the selection
+    matmul) — callers pad with finfo.max / -finfo.max, which the overlap
+    predicates treat exactly like ±inf.
+    """
+    import numpy as np
+    dtype = blos[0].dtype
+    stacked = jnp.stack([b.reshape(-1) for b in blos] +
+                        [(-b).reshape(-1) for b in bups])    # (6, T*G)
+    SL = 256
+    sel_np = np.zeros((SL, SL), np.float64)
+    sel_np[2 * np.arange(SL // 2), np.arange(SL // 2)] = 1.0
+    sel_np[2 * np.arange(SL // 2) + 1, SL // 2 + np.arange(SL // 2)] = 1.0
+    sel = jnp.asarray(sel_np, dtype)
+
+    def halve(c):
+        if c.shape[1] >= SL and c.shape[1] % SL == 0:
+            cb = c.reshape(6, -1, SL)
+            out = jax.lax.dot_general(
+                cb, sel, (((2,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST)
+            return jnp.minimum(out[..., :SL // 2],
+                               out[..., SL // 2:]).reshape(6, -1)
+        return c.reshape(6, -1, 2).min(-1)
+
+    c = stacked
+    while c.shape[1] > T * NB:
+        c = halve(c)
+    sub_lo = tuple(c[k].reshape(T, NB) for k in range(3))
+    sub_up = tuple((-c[3 + k]).reshape(T, NB) for k in range(3))
+    while c.shape[1] > T:
+        c = halve(c)
+    tile_lo = tuple(c[k] for k in range(3))
+    tile_up = tuple(-c[3 + k] for k in range(3))
+    return tile_lo, tile_up, sub_lo, sub_up
 
 
 def _tiled_fields(bvh: BVH, G: int, NB: int = 4):
@@ -576,23 +647,32 @@ def _tiled_fields(bvh: BVH, G: int, NB: int = 4):
     # NaN field padding: every predicate comparison against a padded leaf
     # is false, so kernels need no explicit trailing-tile validity guard
     nan = float("nan")
+    # finite max sentinel (min/max-neutral like ±inf, NaN-safe in the
+    # selection matmuls of _bounds_pyramid; the overlap predicates treat
+    # lo=+big / up=-big pads exactly like ±inf: they never overlap)
+    big = float(jnp.finfo(vol.dtype).max)
     if isinstance(vol, BSphere):
         fields = tuple(padded(c, nan) for c in vol.xs) + (padded(vol.r, nan),)
-        blos = tuple(padded(vol.xs[k] - vol.r, jnp.inf) for k in range(3))
-        bups = tuple(padded(vol.xs[k] + vol.r, -jnp.inf) for k in range(3))
+        blos = tuple(padded(vol.xs[k] - vol.r, big) for k in range(3))
+        bups = tuple(padded(vol.xs[k] + vol.r, -big) for k in range(3))
         sphere = True
     else:
         fields = tuple(padded(c, nan) for c in vol.los) + \
             tuple(padded(c, nan) for c in vol.ups)
-        blos = tuple(padded(c, jnp.inf) for c in vol.los)
-        bups = tuple(padded(c, -jnp.inf) for c in vol.ups)
+        blos = tuple(padded(c, big) for c in vol.los)
+        bups = tuple(padded(c, -big) for c in vol.ups)
         sphere = False
 
-    tile_lo = tuple(b.min(axis=1) for b in blos)
-    tile_up = tuple(b.max(axis=1) for b in bups)
-    # ±inf (not NaN) padding keeps partial trailing sub-bands exact
-    sub_lo = tuple(b.reshape(T, NB, G // NB).min(axis=2) for b in blos)
-    sub_up = tuple(b.reshape(T, NB, G // NB).max(axis=2) for b in bups)
+    if n >= (1 << 16) and (T * G) % 512 == 0 and (G // NB) >= 4:
+        tile_lo, tile_up, sub_lo, sub_up = _bounds_pyramid(
+            blos, bups, T, G, NB)
+    else:
+        tile_lo = tuple(b.min(axis=1) for b in blos)
+        tile_up = tuple(b.max(axis=1) for b in bups)
+        # finite-max (not NaN) padding keeps partial trailing sub-bands
+        # exact
+        sub_lo = tuple(b.reshape(T, NB, G // NB).min(axis=2) for b in blos)
+        sub_up = tuple(b.reshape(T, NB, G // NB).max(axis=2) for b in bups)
     return fields, sphere, tile_lo, tile_up, sub_lo, sub_up, T
 
 
@@ -799,28 +879,32 @@ def traverse_tiles_fixed(bvh: BVH, capacity: int, *,
                           for w in bm_grp),
                     ns_c.reshape(1).astype(jnp.int32), fields,
                     mask_kind=mask_kind, G=G, W=W, R=R, NB=NB,
-                    dedup=True, interpret=interpret)
+                    dedup=True, interpret=interpret, with_colmax=True)
 
             # generous S_cap leaves whole chunks dead on typical scenes;
             # their counts are identically zero, so skip the kernel launch
             # (a dead grid still costs ~0.3 us/step in DMA issue)
             cnt_parts.append(jax.lax.cond(
                 ns_c > 0, run_chunk,
-                lambda: jnp.zeros((CHUNK * W * R,), jnp.int32)))
+                lambda: (jnp.zeros((CHUNK * W * R,), jnp.int32),
+                         jnp.zeros((CHUNK * W * R,), jnp.int32))))
         # The barrier is load-bearing: counts has two consumers (the valid
         # chain and the packed payload below), and XLA duplicates the cheap
         # slice-of-pallas-output chain into both — the later copy re-reads
         # the kernel's output buffer after it has been reused, yielding
         # partially-zero counts (measured: 77/118 emit entries dropped at
         # N=5000 on the real chip; bit-exact in interpret mode).
-        counts = jax.lax.optimization_barrier(jnp.concatenate(cnt_parts))
+        counts, colmax = jax.lax.optimization_barrier(
+            (jnp.concatenate([p[0] for p in cnt_parts]),
+             jnp.concatenate([p[1] for p in cnt_parts])))
         slot_overflow = jnp.any(counts > alg.pair_cap)
 
         W2 = alg.emit_w
         S2_cap, CHUNK2 = _step_caps(T + capacity // (8 * W2))
         E2_cap = max(4096, capacity // 8)
         a_idx2, b_idx2, nsteps2, over2 = _regroup_emit_runs(
-            a_idx, run_idx, bm_grp, counts, W2, S2_cap, E2_cap, T, R, NB)
+            a_idx, run_idx, bm_grp, counts, W2, S2_cap, E2_cap, T, R, NB,
+            colmax=colmax)
         cap_overflow = (nsteps2 > S2_cap) | over2
         parts = []
         for start in range(0, S2_cap, CHUNK2):
@@ -940,8 +1024,9 @@ def traverse_tiles(bvh: BVH, *, alg: "TileTraversal" = None, narrow=None,
                                 num_checks=int(num_checks),
                                 pair_capacity=pair_capacity, tile_alg=alg)
         if ov & 1:                       # buffer capacity overflow
-            capacity *= 2
-            pair_capacity *= 2
+            capacity = _grow_capacity(capacity, options.capacity_growth)
+            pair_capacity = _grow_capacity(
+                pair_capacity, options.capacity_growth, 8192)
         if ov & 2:                       # kernel slot-cap overflow
             alg = _grow_alg(alg)
     # scene too dense for the tile engine's VMEM-bounded slot caps (one
@@ -1160,20 +1245,24 @@ def traverse_tiles_pair_fixed(bvh1: BVH, bvh2: BVH, capacity: int, *,
                           for w in bm_grp),
                     ns_c.reshape(1).astype(jnp.int32), f1, f2,
                     mask_kind=mask_kind, G=G, W=W, R=R, NB=NB,
-                    dedup=False, interpret=interpret)
+                    dedup=False, interpret=interpret, with_colmax=True)
 
             cnt_parts.append(jax.lax.cond(
                 ns_c > 0, run_chunk,
-                lambda: jnp.zeros((CHUNK * W * R,), jnp.int32)))
+                lambda: (jnp.zeros((CHUNK * W * R,), jnp.int32),
+                         jnp.zeros((CHUNK * W * R,), jnp.int32))))
         # barrier: see the self-contact branch — load-bearing
-        counts = jax.lax.optimization_barrier(jnp.concatenate(cnt_parts))
+        counts, colmax = jax.lax.optimization_barrier(
+            (jnp.concatenate([p[0] for p in cnt_parts]),
+             jnp.concatenate([p[1] for p in cnt_parts])))
         slot_overflow = jnp.any(counts > alg.pair_cap)
 
         W2 = alg.emit_w
         S2_cap, CHUNK2 = _step_caps(T1 + capacity // (8 * W2))
         E2_cap = max(4096, capacity // 8)
         a_idx2, b_idx2, nsteps2, over2 = _regroup_emit_runs(
-            a_idx, run_idx, bm_grp, counts, W2, S2_cap, E2_cap, T2, R, NB)
+            a_idx, run_idx, bm_grp, counts, W2, S2_cap, E2_cap, T2, R, NB,
+            colmax=colmax)
         cap_overflow = (nsteps2 > S2_cap) | over2
         parts = []
         for start in range(0, S2_cap, CHUNK2):
@@ -1289,8 +1378,9 @@ def traverse_tiles_pair(bvh1: BVH, bvh2: BVH, *, alg: "TileTraversal" = None,
                                 pair_capacity=pair_capacity,
                                 tile_alg=alg)
         if ov & 1:
-            capacity *= 2
-            pair_capacity *= 2
+            capacity = _grow_capacity(capacity, options.capacity_growth)
+            pair_capacity = _grow_capacity(
+                pair_capacity, options.capacity_growth, 8192)
         if ov & 2:
             alg = _grow_alg(alg)
     from .api import traverse as _traverse
