@@ -71,8 +71,9 @@ def main():
     W2 = int(sys.argv[3]) if len(sys.argv) > 3 else 4
     NB = int(sys.argv[4]) if len(sys.argv) > 4 else 4
     CW = int(sys.argv[5]) if len(sys.argv) > 5 else 8
+    DK = int(sys.argv[6]) if len(sys.argv) > 6 else 0
     alg = TileTraversal(row_cap=4, pair_cap=32, run_r=R, emit_w=W2,
-                        bands=NB, count_w=CW)
+                        bands=NB, count_w=CW, decode_k=DK)
 
     def s_volumes(q1, q2, q3):
         s = ib.bsphere_from_triangles(q1, q2, q3)
@@ -122,13 +123,14 @@ def main():
             ns_c = jnp.clip(nsteps - start, 0, CHUNK)
 
             def run_chunk(start=start, ns_c=ns_c):
-                return tile_run_counts(
+                out = tile_run_counts(
                     a_idx[start:start + CHUNK],
                     run_idx[start * W:(start + CHUNK) * W],
                     tuple(w[start * W:(start + CHUNK) * W] for w in bm_grp),
                     ns_c.reshape(1).astype(jnp.int32), fields,
                     mask_kind="sphere", G=G, W=W, R=R, NB=NB, dedup=True,
-                    interpret=INTERP)
+                    interpret=INTERP, moments=bool(DK))
+                return out[0] if DK else out
 
             cnts = jax.lax.cond(
                 ns_c > 0, run_chunk,
@@ -149,37 +151,60 @@ def main():
                     tuple(w[start * W:(start + CHUNK) * W] for w in bm_grp),
                     ns_c.reshape(1).astype(jnp.int32), fields,
                     mask_kind="sphere", G=G, W=W, R=R, NB=NB, dedup=True,
-                    interpret=INTERP, with_colmax=True)
+                    interpret=INTERP, with_colmax=not DK, moments=bool(DK))
 
-            cnt_parts.append(jax.lax.cond(
-                ns_c > 0, run_chunk,
-                lambda: (jnp.zeros((CHUNK * W * R,), jnp.int32),
-                         jnp.zeros((CHUNK * W * R,), jnp.int32))))
-        counts, colmax = jax.lax.optimization_barrier(
-            (jnp.concatenate([p[0] for p in cnt_parts]),
-             jnp.concatenate([p[1] for p in cnt_parts])))
-        return bvh, fields, a_idx, run_idx, bm_grp, counts, colmax
+            dead = ((jnp.zeros((CHUNK * W * R,), jnp.int32),
+                     jnp.zeros((CHUNK * W * R,), jnp.int32),
+                     jnp.zeros((CHUNK * W * R, 128), jnp.int32))
+                    if DK else
+                    (jnp.zeros((CHUNK * W * R,), jnp.int32),
+                     jnp.zeros((CHUNK * W * R,), jnp.int32)))
+            cnt_parts.append(jax.lax.cond(ns_c > 0, run_chunk,
+                                          lambda d=dead: d))
+        barred = jax.lax.optimization_barrier(
+            tuple(jnp.concatenate([p[k] for p in cnt_parts])
+                  for k in range(3 if DK else 2)))
+        counts, colmax = barred[0], barred[1]
+        words = barred[2] if DK else None
+        return bvh, fields, a_idx, run_idx, bm_grp, counts, colmax, words
 
     S2_cap, CHUNK2 = _step_caps(T_tiles + capacity // (8 * W2))
     E2_cap = max(4096, capacity // 8)
+    D_cap = min(max(8192, capacity // 2), E2_cap * R) if DK else 0
+
+    def _regroup(q1, q2, q3):
+        bvh, fields, a_idx, run_idx, bm_grp, counts, colmax, words = \
+            _counts(q1, q2, q3)
+        regrouped = _regroup_emit_runs(
+            a_idx, run_idx, bm_grp, counts, W2, S2_cap, E2_cap,
+            T_tiles, R, NB, colmax=colmax, decode_k=DK, D_cap=D_cap)
+        a2, b2, ns2 = regrouped[0], regrouped[1], regrouped[2]
+        dec = regrouped[4] if DK else None
+        return bvh, fields, a2, b2, ns2, words, dec
 
     def s_regroup(q1, q2, q3):
-        bvh, fields, a_idx, run_idx, bm_grp, counts, colmax = \
-            _counts(q1, q2, q3)
-        a2, b2, ns2, over2 = _regroup_emit_runs(
-            a_idx, run_idx, bm_grp, counts, W2, S2_cap, E2_cap,
-            T_tiles, R, NB, colmax=colmax)
-        return (a2.sum().astype(jnp.float32) + b2[0] +
-                ns2.astype(jnp.float32))
+        bvh, fields, a2, b2, ns2, words, dec = _regroup(q1, q2, q3)
+        dep = (a2.sum().astype(jnp.float32) + b2[0] +
+               ns2.astype(jnp.float32))
+        if DK:
+            dep = dep + dec[3].astype(jnp.float32) + \
+                dec[0].sum().astype(jnp.float32) * 1e-9
+        return dep
+
+    def s_decode(q1, q2, q3):
+        from implicitbvh_tpu.traverse.tiles import _moment_decode
+        bvh, fields, a2, b2, ns2, words, dec = _regroup(q1, q2, q3)
+        gi, gj, tot = _moment_decode(words, *dec, G, DK, capacity)
+        return gi.sum() + gj.sum() + tot.astype(jnp.float32)
 
     def s_emit(q1, q2, q3):
         from implicitbvh_tpu.ops.tile_contact import tile_group_emit
-        bvh, fields, a_idx, run_idx, bm_grp, counts, colmax = \
-            _counts(q1, q2, q3)
-        a2, b2, ns2, over2 = _regroup_emit_runs(
-            a_idx, run_idx, bm_grp, counts, W2, S2_cap, E2_cap,
-            T_tiles, R, NB, colmax=colmax)
+        bvh, fields, a2, b2, ns2, words, dec = _regroup(q1, q2, q3)
         dep = jnp.float32(0)
+        if DK:
+            from implicitbvh_tpu.traverse.tiles import _moment_decode
+            gi0, gj0, tot0 = _moment_decode(words, *dec, G, DK, capacity)
+            dep += tot0.astype(jnp.float32) + gi0[0] + gj0[0]
         for start in range(0, S2_cap, CHUNK2):
             ns_c = jnp.clip(ns2 - start, 0, CHUNK2)
             gi_c, gj_c, tot_c, flags_c = tile_group_emit(
@@ -228,7 +253,9 @@ def main():
 
     stages = [("volumes", s_volumes), ("build", s_build),
               ("phase1", s_phase1), ("kernel", s_kernel),
-              ("regroup", s_regroup), ("emit", s_emit), ("full", s_full)]
+              ("regroup", s_regroup)] + \
+        ([("decode", s_decode)] if DK else []) + \
+        [("emit", s_emit), ("full", s_full)]
     # STAGES env var: comma-separated subset for lean A/B runs, e.g.
     # STAGES=phase1,kernel,full IBVH_ABLATE=nopb2 python profile_1m.py
     # (deltas are only meaningful between *adjacent selected* stages that

@@ -8,7 +8,12 @@ one jit with data dependencies, timed by a dependent scalar fetch
 absorbs the ~5 ms dispatch/fetch floor; deltas are the honest per-stage
 costs.
 
-Usage: profile_rays.py [log2N] [nrays] [R] [W2] [NB] [CW]
+Usage: profile_rays.py [log2N] [nrays] [R] [W2] [NB] [CW] [DK]
+
+DK > 0 (default 4, the ray-engine default) profiles the moment-decode
+pipeline: the count kernel captures column moments and low-count pairs
+bypass the emit kernel through the pure-XLA decode (a ``decode`` stage
+appears between ``regroup`` and ``emit``).
 """
 
 import math
@@ -66,8 +71,9 @@ def main():
     W2 = int(sys.argv[4]) if len(sys.argv) > 4 else 4
     NB = int(sys.argv[5]) if len(sys.argv) > 5 else 4
     CW = int(sys.argv[6]) if len(sys.argv) > 6 else 8
+    DK = int(sys.argv[7]) if len(sys.argv) > 7 else 4
     alg = TileTraversal(row_cap=8, pair_cap=32, run_r=R, emit_w=W2,
-                        bands=NB, count_w=CW)
+                        bands=NB, count_w=CW, decode_k=DK)
     G = alg.tile
     W = CW
 
@@ -152,41 +158,72 @@ def main():
                           for w in bm_grp),
                     ns_c.reshape(1).astype(jnp.int32), rfields, fields,
                     mask_kind=mask_kind, G=G, W=W, R=R, NB=NB,
-                    dedup=False, interpret=INTERP, with_colmax=True)
+                    dedup=False, interpret=INTERP,
+                    with_colmax=not DK, moments=bool(DK))
 
-            cnt_parts.append(jax.lax.cond(
-                ns_c > 0, run_chunk,
-                lambda: (jnp.zeros((CHUNK * W * R,), jnp.int32),
-                         jnp.zeros((CHUNK * W * R,), jnp.int32))))
-        counts, colmax = jax.lax.optimization_barrier(
-            (jnp.concatenate([p[0] for p in cnt_parts]),
-             jnp.concatenate([p[1] for p in cnt_parts])))
-        return rfields, perm, a_idx, run_idx, bm_grp, nsteps, counts, colmax
+            dead = ((jnp.zeros((CHUNK * W * R,), jnp.int32),
+                     jnp.zeros((CHUNK * W * R,), jnp.int32),
+                     jnp.zeros((CHUNK * W * R, 128), jnp.int32))
+                    if DK else
+                    (jnp.zeros((CHUNK * W * R,), jnp.int32),
+                     jnp.zeros((CHUNK * W * R,), jnp.int32)))
+            cnt_parts.append(jax.lax.cond(ns_c > 0, run_chunk,
+                                          lambda d=dead: d))
+        barred = jax.lax.optimization_barrier(
+            tuple(jnp.concatenate([p[k] for p in cnt_parts])
+                  for k in range(3 if DK else 2)))
+        counts, colmax = barred[0], barred[1]
+        words = barred[2] if DK else None
+        return (rfields, perm, a_idx, run_idx, bm_grp, nsteps, counts,
+                colmax, words)
 
     def s_kernel(q, d2):
         out = _counts(q, d2)
-        counts, colmax = out[-2], out[-1]
+        counts, colmax = out[6], out[7]
         return (counts.sum() + colmax[0]).astype(jnp.float32)
 
     S2_cap, CHUNK2 = _step_caps(RT + capacity // W2)
     E2_cap = max(4096, capacity // 2)
+    D_cap = min(max(8192, capacity // 2), E2_cap * R) if DK else 0
 
     def _regroup(q, d2):
-        rfields, perm, a_idx, run_idx, bm_grp, nsteps, counts, colmax = \
-            _counts(q, d2)
-        a_idx2, b_idx2, nsteps2, over2 = _regroup_emit_runs(
+        (rfields, perm, a_idx, run_idx, bm_grp, nsteps, counts, colmax,
+         words) = _counts(q, d2)
+        regrouped = _regroup_emit_runs(
             a_idx, run_idx, bm_grp, counts, W2, S2_cap, E2_cap, T, R, NB,
-            colmax=colmax)
-        return rfields, perm, a_idx2, b_idx2, nsteps2
+            colmax=colmax, decode_k=DK, D_cap=D_cap)
+        a_idx2, b_idx2, nsteps2 = regrouped[0], regrouped[1], regrouped[2]
+        dec = regrouped[4] if DK else None
+        return rfields, perm, a_idx2, b_idx2, nsteps2, words, dec
 
     def s_regroup(q, d2):
-        rfields, perm, a_idx2, b_idx2, nsteps2 = _regroup(q, d2)
-        return (a_idx2.sum().astype(jnp.float32) + b_idx2[0] +
-                nsteps2.astype(jnp.float32))
+        rfields, perm, a_idx2, b_idx2, nsteps2, words, dec = _regroup(q, d2)
+        dep = (a_idx2.sum().astype(jnp.float32) + b_idx2[0] +
+               nsteps2.astype(jnp.float32))
+        if DK:
+            dep = dep + dec[3].astype(jnp.float32) + \
+                dec[0].sum().astype(jnp.float32) * 1e-9
+        return dep
+
+    def _decode(q, d2):
+        rfields, perm, a_idx2, b_idx2, nsteps2, words, dec = _regroup(q, d2)
+        from implicitbvh_tpu.traverse.tiles import _moment_decode
+        part0 = _moment_decode(words, *dec, G, DK, capacity)
+        return rfields, perm, a_idx2, b_idx2, nsteps2, part0
+
+    def s_decode(q, d2):
+        out = _decode(q, d2)
+        gi, gj, tot = out[-1]
+        return gi.sum() + gj.sum() + tot.astype(jnp.float32)
 
     def _emit(q, d2):
-        rfields, perm, a_idx2, b_idx2, nsteps2 = _regroup(q, d2)
-        parts = []
+        if DK:
+            rfields, perm, a_idx2, b_idx2, nsteps2, part0 = _decode(q, d2)
+            parts = [part0]
+        else:
+            rfields, perm, a_idx2, b_idx2, nsteps2, _w, _d = \
+                _regroup(q, d2)
+            parts = []
         for start in range(0, S2_cap, CHUNK2):
             ns_c = jnp.clip(nsteps2 - start, 0, CHUNK2)
 
@@ -252,8 +289,10 @@ def main():
                 contacts.sum(dtype=jnp.int32).astype(jnp.float32) * 1e-9)
 
     stages = [("sort", s_sort), ("phase1", s_phase1), ("kernel", s_kernel),
-              ("regroup", s_regroup), ("emit", s_emit), ("emitc", s_emitc),
-              ("merge", s_merge), ("finish", s_finish), ("full", s_full)]
+              ("regroup", s_regroup)] + \
+        ([("decode", s_decode)] if DK else []) + \
+        [("emit", s_emit), ("emitc", s_emitc),
+         ("merge", s_merge), ("finish", s_finish), ("full", s_full)]
     import os
     sel = os.environ.get("STAGES")
     if sel:

@@ -680,10 +680,10 @@ def tile_run_counts(a_idx, b_idx, bm_words, nsteps, a_fields,
     ``i1 = (is - d) / 2, i2 = (is + d) / 2`` (cc == 1: i1 = is).  Output
     rows widen to 256 lanes: [0, 128) the cc plane, [128, 256) the packed
     decode word ``min(cc,3) << 16 | min(is,511) << 7 | min(d,127)``.
-    Returns ``(counts, colmax, raw)`` where ``raw`` is the full
-    (S_cap, W*R, 256) array — the XLA moment-decode path
+    Returns ``(counts, colmax, words)`` where ``words`` is the
+    (S_cap * W * R, 128) decode-word plane — the XLA moment-decode path
     (traverse/tiles._moment_decode) turns it into contacts with no emit
-    kernel at all for colmax <= 2 pairs.
+    kernel at all for low-count colmax <= 2 pairs.
     """
     S_cap = a_idx.shape[0]
     if b_fields is None:
@@ -781,7 +781,8 @@ def tile_run_counts(a_idx, b_idx, bm_words, nsteps, a_fields,
     counts = cc_plane.sum(axis=2, dtype=jnp.int32).reshape(S_cap * W * R)
     if moments:
         colmax = cc_plane.max(axis=2).reshape(S_cap * W * R)
-        return counts, colmax, out
+        words = out[:, :, 128:256].reshape(S_cap * W * R, 128)
+        return counts, colmax, words
     if with_colmax:
         # per-pair max column multiplicity (same fused read pass as the
         # sum): colmax <= 2 routes the pair to the emit kernel's exact

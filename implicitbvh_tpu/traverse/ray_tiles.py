@@ -244,7 +244,7 @@ def traverse_rays_tiles_fixed(bvh: BVH, points, directions, capacity: int, *,
 
     # rays default to a deeper per-ray slot cap: a single ray can pass
     # through several leaves of one tile in dense scenes (row = ray)
-    alg = alg or TileTraversal(row_cap=8, emit_w=8)
+    alg = alg or TileTraversal(row_cap=8, emit_w=8, decode_k=4)
     G = alg.tile
     if interpret is None:
         interpret = _use_interpret()
@@ -303,6 +303,7 @@ def traverse_rays_tiles_fixed(bvh: BVH, points, directions, capacity: int, *,
         a_idx, run_idx, bm_grp, nsteps, num_checks = _phase1_ray_runs(
             rfields, tile_lo, tile_up, W, S_cap, R, pad_run, NB)
         pair_overflow = nsteps > S_cap
+        DK = alg.decode_k
         cnt_parts = []
         for start in range(0, S_cap, CHUNK):
             ns_c = jnp.clip(nsteps - start, 0, CHUNK)
@@ -315,17 +316,24 @@ def traverse_rays_tiles_fixed(bvh: BVH, points, directions, capacity: int, *,
                           for w in bm_grp),
                     ns_c.reshape(1).astype(jnp.int32), rfields, fields,
                     mask_kind=mask_kind, G=G, W=W, R=R, NB=NB,
-                    dedup=False, interpret=interpret, with_colmax=True)
+                    dedup=False, interpret=interpret,
+                    with_colmax=not DK, moments=bool(DK))
 
-            cnt_parts.append(jax.lax.cond(
-                ns_c > 0, run_chunk,
-                lambda: (jnp.zeros((CHUNK * W * R,), jnp.int32),
-                         jnp.zeros((CHUNK * W * R,), jnp.int32))))
+            dead = ((jnp.zeros((CHUNK * W * R,), jnp.int32),
+                     jnp.zeros((CHUNK * W * R,), jnp.int32),
+                     jnp.zeros((CHUNK * W * R, 128), jnp.int32))
+                    if DK else
+                    (jnp.zeros((CHUNK * W * R,), jnp.int32),
+                     jnp.zeros((CHUNK * W * R,), jnp.int32)))
+            cnt_parts.append(jax.lax.cond(ns_c > 0, run_chunk,
+                                          lambda d=dead: d))
         # barrier: see tiles.py — XLA otherwise re-reads the count
         # kernel's reused output buffer in one of the two consumers
-        counts, colmax = jax.lax.optimization_barrier(
-            (jnp.concatenate([p[0] for p in cnt_parts]),
-             jnp.concatenate([p[1] for p in cnt_parts])))
+        barred = jax.lax.optimization_barrier(
+            tuple(jnp.concatenate([p[k] for p in cnt_parts])
+                  for k in range(3 if DK else 2)))
+        counts, colmax = barred[0], barred[1]
+        words = barred[2] if DK else None
         slot_overflow = jnp.any(counts > alg.pair_cap)
 
         W2 = alg.emit_w
@@ -339,11 +347,17 @@ def traverse_rays_tiles_fixed(bvh: BVH, points, directions, capacity: int, *,
         # expansion; overflow feeds the growth loop.
         S2_cap, CHUNK2 = _step_caps(RT + capacity // W2)
         E2_cap = max(4096, capacity // 4)
-        a_idx2, b_idx2, nsteps2, over2 = _regroup_emit_runs(
+        D_cap = min(max(8192, capacity // 2), E2_cap * R) if DK else 0
+        regrouped = _regroup_emit_runs(
             a_idx, run_idx, bm_grp, counts, W2, S2_cap, E2_cap, T, R, NB,
-            colmax=colmax)
+            colmax=colmax, decode_k=DK, D_cap=D_cap)
+        a_idx2, b_idx2, nsteps2, over2 = regrouped[:4]
         cap_overflow = (nsteps2 > S2_cap) | over2
         parts = []
+        if DK:
+            from .tiles import _moment_decode
+            parts.append(_moment_decode(
+                words, *regrouped[4], G, DK, capacity))
         for start in range(0, S2_cap, CHUNK2):
             ns_c = jnp.clip(nsteps2 - start, 0, CHUNK2)
 
@@ -427,7 +441,7 @@ def traverse_rays_tiles(bvh: BVH, points, directions, *,
                         ) -> BVHTraversal:
     """Host wrapper with overflow-driven capacity growth (ray tiles)."""
     from .tiles import _merge_cached_alg
-    alg = alg or TileTraversal(row_cap=8, emit_w=8)
+    alg = alg or TileTraversal(row_cap=8, emit_w=8, decode_k=4)
     alg = _merge_cached_alg(alg, cache)
     idt = bvh.skips.dtype
     n_rays = int(jnp.asarray(points).shape[1])

@@ -58,6 +58,13 @@ class TileTraversal(TraversalAlgorithm):
       16): the count kernel's mask quantum is (tile/bands, tile) — finer
       bands cut dead mask work at the cost of more phase-1b compute and
       band words (ops/subtile.py).
+    - ``decode_k``: > 0 enables the XLA moment-decode emit route: the
+      count kernel also captures per-column contact moments, and pairs
+      whose every column holds <= 2 contacts with <= decode_k live
+      columns are decoded in pure XLA (gather + top_k(decode_k) +
+      scatter, see _moment_decode) instead of re-masked by the emit
+      kernel.  Pays when most hit-bearing pairs are low-count (rays:
+      ~93%% carry cnt <= 3).
     Overflows are detected and the host wrapper re-runs with doubled caps.
     """
 
@@ -68,6 +75,7 @@ class TileTraversal(TraversalAlgorithm):
     count_w: int = 8
     emit_w: int = 4
     bands: int = 4
+    decode_k: int = 0
 
 
 # Capacity heuristics, derived from densities measured on unit-density
@@ -486,10 +494,11 @@ def _runs_from_bits(bits, si, sj, SS: int, G: int, W: int, S_cap: int,
 
 
 @partial(jax.jit, static_argnames=("W2", "S2_cap", "E2_cap", "T_pad",
-                                   "R", "NB"))
+                                   "R", "NB", "decode_k", "D_cap"))
 def _regroup_emit_runs(a_idx, run_idx, bm_words, counts, W2: int,
                        S2_cap: int, E2_cap: int, T_pad: int, R: int,
-                       NB: int = 4, colmax=None):
+                       NB: int = 4, colmax=None, decode_k: int = 0,
+                       D_cap: int = 0):
     """Regroup the (tile) pairs with nonzero counts for the emit kernel
     (payload ``tj | band << 16 | cnt << 20``, exactly like _regroup_emit).
 
@@ -503,8 +512,16 @@ def _regroup_emit_runs(a_idx, run_idx, bm_words, counts, W2: int,
     those runs' metadata and counts and expand them R-wide (E2_cap * R
     entries) for the leader grouping.
 
-    Returns ``(a_idx2, b_idx2, nsteps2, over2)`` (``over2``: more live
-    runs than E2_cap — grow ``capacity``).
+    ``decode_k > 0`` splits off the pairs the XLA moment decode can
+    finish without the emit kernel (colmax <= 2 and cnt <= decode_k,
+    requires ``colmax``): those are compacted into (D_cap,) arrays
+    ``(dec_pk = ti << 16 | tj, dec_flat = raw word-plane row index,
+    dec_cnt)`` and removed from the emit grouping, and the return gains a
+    trailing ``(dec_pk, dec_flat, dec_cnt, ndec)`` tuple.
+
+    Returns ``(a_idx2, b_idx2, nsteps2, over2[, dec])`` (``over2``: more
+    live runs than E2_cap, or more decode pairs than D_cap — grow
+    ``capacity``).
     """
     SW = run_idx.shape[0]
     Win = SW // a_idx.shape[0]
@@ -576,13 +593,98 @@ def _regroup_emit_runs(a_idx, run_idx, bm_words, counts, W2: int,
     # dead entries never reach the kernel, but clamp their tj to the pad
     # tile so the payload's 16-bit field can't overflow near T = 2^16
     tj_c = jnp.where(valid, tj, T_pad)
-    payload = tj_c | (band4 << 16) | (cnt << 20)
+    okbit = None
     if okw_r:
         okbit = (jnp.repeat(okw_r[0], R) >> t) & 1
+    dec = None
+    emit_valid = valid
+    if decode_k:
+        assert okbit is not None and D_cap > 0
+        # split off the XLA-decodable pairs: every mask column <= 2
+        # contacts AND few enough live columns (cnt <= decode_k) that the
+        # decode's per-pair top_k window sees them all
+        is_dec = valid & (okbit == 1) & (cnt <= decode_k)
+        emit_valid = valid & jnp.logical_not(is_dec)
+        dm = is_dec.astype(jnp.int32)
+        dpos = jnp.cumsum(dm) - dm
+        ddst = jnp.where(is_dec, dpos, D_cap)
+        # raw word-plane row of entry (sorted slot, t): the sort key IS
+        # the original (step * W + w) slot index for live runs
+        slot_r = jax.lax.bitcast_convert_type(
+            sorted_ops[0][:E2c], jnp.int32)
+        flat = jnp.repeat(slot_r, R) * R + t
+        dec_pk = jnp.zeros((D_cap,), jnp.int32).at[ddst].set(
+            (ti_flat << 16) | tj_c, mode="drop")
+        dec_flat = jnp.zeros((D_cap,), jnp.int32).at[ddst].set(
+            flat, mode="drop")
+        dec_cnt = jnp.zeros((D_cap,), jnp.int32).at[ddst].set(
+            cnt, mode="drop")
+        ndec = dm.sum()
+        over2 = over2 | (ndec > D_cap)
+        dec = (dec_pk, dec_flat, dec_cnt, ndec)
+    payload = tj_c | (band4 << 16) | (cnt << 20)
+    if okbit is not None:
         payload = payload | (okbit << 28)
     a_idx2, (b_idx2,), nsteps2 = _leader_group(
-        ti_flat, valid, (payload,), (T_pad,), W2, S2_cap)
+        ti_flat, emit_valid, (payload,), (T_pad,), W2, S2_cap)
+    if decode_k:
+        return a_idx2, b_idx2, nsteps2, over2, dec
     return a_idx2, b_idx2, nsteps2, over2
+
+
+def _moment_decode(words, dec_pk, dec_flat, dec_cnt, ndec, G: int, K: int,
+                   capacity: int):
+    """Pure-XLA contact decode for the moment-captured pairs: no emit
+    kernel at all for pairs whose every mask column holds <= 2 contacts
+    and whose live-column count fits the per-pair ``top_k`` window
+    (cnt <= K, guaranteed by the _regroup_emit_runs routing).
+
+    ``words`` is tile_run_counts' (S_flat, 128) packed decode-word plane
+    (``min(cc,3) << 16 | is << 7 | d``, exact for cc <= 2 columns: is =
+    i1 + i2 <= 254 and d = |i1 - i2| <= 127 never hit the field clamps);
+    ``dec_*`` are the (D_cap,) compacted pair arrays from
+    _regroup_emit_runs.  Live columns carry word >= 1 << 16 > 0 = dead
+    columns, so per pair ``top_k(K)`` surfaces exactly the live columns
+    (order within the pair is irrelevant to the contact set).  Measured
+    rates (benchmarks/micro_xla_decode.py, v5e): row-gather 3.6 ms +
+    top_k(8) 4.8 ms at 131k x 128, two ~1M-update scatters ~2 ms each —
+    vs ~0.7 us per pair inside the emit kernel (the per-pair MXU-launch
+    floor that made the in-kernel fast paths ~neutral).
+
+    Returns ``(gi, gj, total)`` — a dense (capacity,) contact-position
+    stream in _merge_streams part format.
+    """
+    D_cap = dec_pk.shape[0]
+    S_flat = words.shape[0]
+    rows = words[jnp.clip(dec_flat, 0, S_flat - 1)]        # (D_cap, 128)
+    vals, cols = jax.lax.top_k(rows, K)                    # (D_cap, K)
+    e_in = jnp.arange(D_cap, dtype=jnp.int32)[:, None] < ndec
+    cc = jnp.where(e_in, (vals >> 16) & 3, 0)
+    isv = (vals >> 7) & 0x1FF
+    dv = vals & 0x7F
+    one = cc >= 1
+    two = cc == 2
+    i1 = jnp.where(two, (isv - dv) >> 1, isv)
+    i2 = (isv + dv) >> 1
+    ti = (dec_pk >> 16) & 0xFFFF
+    tj = dec_pk & 0xFFFF
+    gi1 = ti[:, None] * G + i1
+    gi2 = ti[:, None] * G + i2
+    gjc = tj[:, None] * G + cols
+    nk = jnp.where(one, cc, 0)
+    exc = jnp.cumsum(nk, axis=1) - nk                      # within-pair
+    offs = jnp.cumsum(dec_cnt) - dec_cnt                   # pair offsets
+    total = jnp.sum(dec_cnt)
+    d1 = jnp.where(one, offs[:, None] + exc, capacity)
+    d2 = jnp.where(two, offs[:, None] + exc + 1, capacity)
+    dst = jnp.concatenate([d1, d2], axis=1).reshape(-1)
+    vgi = jnp.concatenate([gi1, gi2], axis=1).reshape(-1)
+    vgj = jnp.concatenate([gjc, gjc], axis=1).reshape(-1)
+    gi = jnp.zeros((capacity,), jnp.int32).at[dst].set(vgi, mode="drop")
+    gj = jnp.zeros((capacity,), jnp.int32).at[dst].set(vgj, mode="drop")
+    # f32 to match the emit kernel's stream parts in _merge_streams
+    # (positions < 2^24 are f32-exact)
+    return gi.astype(jnp.float32), gj.astype(jnp.float32), total
 
 
 def _bounds_pyramid(blos, bups, T: int, G: int, NB: int):
@@ -867,6 +969,7 @@ def traverse_tiles_fixed(bvh: BVH, capacity: int, *,
                               pair_capacity, W, S_cap, R, pad_run, NB,
                               interpret=interpret)
         mask_kind = "sphere" if sphere else "box"
+        DK = alg.decode_k
         cnt_parts = []
         for start in range(0, S_cap, CHUNK):
             ns_c = jnp.clip(nsteps - start, 0, CHUNK)
@@ -879,34 +982,46 @@ def traverse_tiles_fixed(bvh: BVH, capacity: int, *,
                           for w in bm_grp),
                     ns_c.reshape(1).astype(jnp.int32), fields,
                     mask_kind=mask_kind, G=G, W=W, R=R, NB=NB,
-                    dedup=True, interpret=interpret, with_colmax=True)
+                    dedup=True, interpret=interpret,
+                    with_colmax=not DK, moments=bool(DK))
 
             # generous S_cap leaves whole chunks dead on typical scenes;
             # their counts are identically zero, so skip the kernel launch
             # (a dead grid still costs ~0.3 us/step in DMA issue)
-            cnt_parts.append(jax.lax.cond(
-                ns_c > 0, run_chunk,
-                lambda: (jnp.zeros((CHUNK * W * R,), jnp.int32),
-                         jnp.zeros((CHUNK * W * R,), jnp.int32))))
+            dead = ((jnp.zeros((CHUNK * W * R,), jnp.int32),
+                     jnp.zeros((CHUNK * W * R,), jnp.int32),
+                     jnp.zeros((CHUNK * W * R, 128), jnp.int32))
+                    if DK else
+                    (jnp.zeros((CHUNK * W * R,), jnp.int32),
+                     jnp.zeros((CHUNK * W * R,), jnp.int32)))
+            cnt_parts.append(jax.lax.cond(ns_c > 0, run_chunk,
+                                          lambda d=dead: d))
         # The barrier is load-bearing: counts has two consumers (the valid
         # chain and the packed payload below), and XLA duplicates the cheap
         # slice-of-pallas-output chain into both — the later copy re-reads
         # the kernel's output buffer after it has been reused, yielding
         # partially-zero counts (measured: 77/118 emit entries dropped at
         # N=5000 on the real chip; bit-exact in interpret mode).
-        counts, colmax = jax.lax.optimization_barrier(
-            (jnp.concatenate([p[0] for p in cnt_parts]),
-             jnp.concatenate([p[1] for p in cnt_parts])))
+        barred = jax.lax.optimization_barrier(
+            tuple(jnp.concatenate([p[k] for p in cnt_parts])
+                  for k in range(3 if DK else 2)))
+        counts, colmax = barred[0], barred[1]
+        words = barred[2] if DK else None
         slot_overflow = jnp.any(counts > alg.pair_cap)
 
         W2 = alg.emit_w
         S2_cap, CHUNK2 = _step_caps(T + capacity // (8 * W2))
         E2_cap = max(4096, capacity // 8)
-        a_idx2, b_idx2, nsteps2, over2 = _regroup_emit_runs(
+        D_cap = min(max(8192, capacity // 2), E2_cap * R) if DK else 0
+        regrouped = _regroup_emit_runs(
             a_idx, run_idx, bm_grp, counts, W2, S2_cap, E2_cap, T, R, NB,
-            colmax=colmax)
+            colmax=colmax, decode_k=DK, D_cap=D_cap)
+        a_idx2, b_idx2, nsteps2, over2 = regrouped[:4]
         cap_overflow = (nsteps2 > S2_cap) | over2
         parts = []
+        if DK:
+            parts.append(_moment_decode(
+                words, *regrouped[4], G, DK, capacity))
         for start in range(0, S2_cap, CHUNK2):
             ns_c = jnp.clip(nsteps2 - start, 0, CHUNK2)
 

@@ -283,3 +283,34 @@ def test_tiles_fine_bands_self_and_pair():
     assert int(ov) == 0
     got = {tuple(map(int, r)) for r in np.asarray(contacts)[:int(total)]}
     assert got == bf2
+
+
+def test_tiles_moment_decode_route():
+    """decode_k > 0 routes low-count colmax<=2 pairs through the pure-XLA
+    moment decode (_moment_decode) instead of the emit kernel; the contact
+    set must be identical to brute force and to the default route.  Dense
+    radii make sure high-count pairs remain for the emit kernel so the
+    stream merge of both routes is exercised."""
+    xs, rs, sp = spheres(700, 21, scale=8.0)
+    bf = brute_force(xs, rs)
+    bvh = ib.build(sp, ib.BBox)
+    t_dec = traverse_tiles(bvh, alg=TileTraversal(tile=32, decode_k=4))
+    assert set(t_dec.contacts_list()) == bf
+    t_ref = traverse_tiles(bvh, alg=TileTraversal(tile=32))
+    assert sorted(t_dec.contacts_list()) == sorted(t_ref.contacts_list())
+
+
+def test_tiles_moment_decode_narrow():
+    """The narrow predicate applies to decode-route contacts too (it runs
+    in _finish_contacts, downstream of both routes)."""
+    xs, rs, sp = spheres(150, 23)
+    bf = brute_force(xs, rs)
+    bf_n = {(i, j) for (i, j) in bf if (i + j) % 2 == 0}
+
+    def narrow(l1, l2):
+        return (l1.index + l2.index) % 2 == 0
+
+    bvh = ib.build(sp, ib.BBox)
+    t = traverse_tiles(bvh, alg=TileTraversal(tile=32, decode_k=8),
+                       narrow=narrow)
+    assert set(t.contacts_list()) == bf_n
