@@ -170,7 +170,7 @@ def main():
 
     S2_cap, CHUNK2 = _step_caps(T_tiles + capacity // (8 * W2))
     E2_cap = max(4096, capacity // 8)
-    D_cap = min(max(8192, capacity // 2), E2_cap * R) if DK else 0
+    D_cap = min(max(8192, capacity // 8), E2_cap * R, 1 << 17) if DK else 0
 
     def _regroup(q1, q2, q3):
         bvh, fields, a_idx, run_idx, bm_grp, counts, colmax, words = \

@@ -10,7 +10,7 @@ costs.
 
 Usage: profile_rays.py [log2N] [nrays] [R] [W2] [NB] [CW] [DK]
 
-DK > 0 (default 4, the ray-engine default) profiles the moment-decode
+DK > 0 (default 8, the ray-engine default) profiles the moment-decode
 pipeline: the count kernel captures column moments and low-count pairs
 bypass the emit kernel through the pure-XLA decode (a ``decode`` stage
 appears between ``regroup`` and ``emit``).
@@ -71,7 +71,7 @@ def main():
     W2 = int(sys.argv[4]) if len(sys.argv) > 4 else 4
     NB = int(sys.argv[5]) if len(sys.argv) > 5 else 4
     CW = int(sys.argv[6]) if len(sys.argv) > 6 else 8
-    DK = int(sys.argv[7]) if len(sys.argv) > 7 else 4
+    DK = int(sys.argv[7]) if len(sys.argv) > 7 else 8
     alg = TileTraversal(row_cap=8, pair_cap=32, run_r=R, emit_w=W2,
                         bands=NB, count_w=CW, decode_k=DK)
     G = alg.tile
@@ -184,7 +184,7 @@ def main():
 
     S2_cap, CHUNK2 = _step_caps(RT + capacity // W2)
     E2_cap = max(4096, capacity // 2)
-    D_cap = min(max(8192, capacity // 2), E2_cap * R) if DK else 0
+    D_cap = min(max(8192, capacity // 2), E2_cap * R, 1 << 17) if DK else 0
 
     def _regroup(q, d2):
         (rfields, perm, a_idx, run_idx, bm_grp, nsteps, counts, colmax,

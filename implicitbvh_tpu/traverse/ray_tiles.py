@@ -244,7 +244,7 @@ def traverse_rays_tiles_fixed(bvh: BVH, points, directions, capacity: int, *,
 
     # rays default to a deeper per-ray slot cap: a single ray can pass
     # through several leaves of one tile in dense scenes (row = ray)
-    alg = alg or TileTraversal(row_cap=8, emit_w=8, decode_k=4)
+    alg = alg or TileTraversal(row_cap=8, emit_w=8, decode_k=8)
     G = alg.tile
     if interpret is None:
         interpret = _use_interpret()
@@ -347,7 +347,7 @@ def traverse_rays_tiles_fixed(bvh: BVH, points, directions, capacity: int, *,
         # expansion; overflow feeds the growth loop.
         S2_cap, CHUNK2 = _step_caps(RT + capacity // W2)
         E2_cap = max(4096, capacity // 4)
-        D_cap = min(max(8192, capacity // 2), E2_cap * R) if DK else 0
+        D_cap = min(max(8192, capacity // 2), E2_cap * R, 1 << 17) if DK else 0
         regrouped = _regroup_emit_runs(
             a_idx, run_idx, bm_grp, counts, W2, S2_cap, E2_cap, T, R, NB,
             colmax=colmax, decode_k=DK, D_cap=D_cap)
@@ -441,7 +441,7 @@ def traverse_rays_tiles(bvh: BVH, points, directions, *,
                         ) -> BVHTraversal:
     """Host wrapper with overflow-driven capacity growth (ray tiles)."""
     from .tiles import _merge_cached_alg
-    alg = alg or TileTraversal(row_cap=8, emit_w=8, decode_k=4)
+    alg = alg or TileTraversal(row_cap=8, emit_w=8, decode_k=8)
     alg = _merge_cached_alg(alg, cache)
     idt = bvh.skips.dtype
     n_rays = int(jnp.asarray(points).shape[1])

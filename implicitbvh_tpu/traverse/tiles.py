@@ -517,11 +517,11 @@ def _regroup_emit_runs(a_idx, run_idx, bm_words, counts, W2: int,
     requires ``colmax``): those are compacted into (D_cap,) arrays
     ``(dec_pk = ti << 16 | tj, dec_flat = raw word-plane row index,
     dec_cnt)`` and removed from the emit grouping, and the return gains a
-    trailing ``(dec_pk, dec_flat, dec_cnt, ndec)`` tuple.
+    trailing ``(dec_pk, dec_flat, dec_cnt, ndec)`` tuple.  Decode pairs
+    beyond D_cap spill back to the emit kernel (correct either way).
 
     Returns ``(a_idx2, b_idx2, nsteps2, over2[, dec])`` (``over2``: more
-    live runs than E2_cap, or more decode pairs than D_cap — grow
-    ``capacity``).
+    live runs than E2_cap — grow ``capacity``).
     """
     SW = run_idx.shape[0]
     Win = SW // a_idx.shape[0]
@@ -599,29 +599,39 @@ def _regroup_emit_runs(a_idx, run_idx, bm_words, counts, W2: int,
     dec = None
     emit_valid = valid
     if decode_k:
-        assert okbit is not None and D_cap > 0
+        assert okbit is not None and 0 < D_cap <= 1 << 17
         # split off the XLA-decodable pairs: every mask column <= 2
         # contacts AND few enough live columns (cnt <= decode_k) that the
-        # decode's per-pair top_k window sees them all
+        # decode's per-pair top_k window sees them all.  Pairs beyond
+        # D_cap (the decode's 2^17 pair-id packing ceiling) spill back to
+        # the emit kernel instead of overflowing — no growth hazard.
         is_dec = valid & (okbit == 1) & (cnt <= decode_k)
-        emit_valid = valid & jnp.logical_not(is_dec)
         dm = is_dec.astype(jnp.int32)
         dpos = jnp.cumsum(dm) - dm
+        is_dec = is_dec & (dpos < D_cap)
+        emit_valid = valid & jnp.logical_not(is_dec)
         ddst = jnp.where(is_dec, dpos, D_cap)
         # raw word-plane row of entry (sorted slot, t): the sort key IS
-        # the original (step * W + w) slot index for live runs
+        # the original (step * W + w) slot index for live runs; cnt
+        # (<= 255) rides the same scatter in bits [23, 31) when the flat
+        # row index fits 23 bits (every standard config; a third scatter
+        # covers the rest)
         slot_r = jax.lax.bitcast_convert_type(
             sorted_ops[0][:E2c], jnp.int32)
         flat = jnp.repeat(slot_r, R) * R + t
         dec_pk = jnp.zeros((D_cap,), jnp.int32).at[ddst].set(
             (ti_flat << 16) | tj_c, mode="drop")
-        dec_flat = jnp.zeros((D_cap,), jnp.int32).at[ddst].set(
-            flat, mode="drop")
-        dec_cnt = jnp.zeros((D_cap,), jnp.int32).at[ddst].set(
-            cnt, mode="drop")
-        ndec = dm.sum()
-        over2 = over2 | (ndec > D_cap)
-        dec = (dec_pk, dec_flat, dec_cnt, ndec)
+        ndec = jnp.minimum(dm.sum(), D_cap)
+        if SW * R <= 1 << 23:
+            dec_fc = jnp.zeros((D_cap,), jnp.int32).at[ddst].set(
+                flat | (cnt << 23), mode="drop")
+            dec = (dec_pk, dec_fc & 0x7FFFFF, dec_fc >> 23, ndec)
+        else:
+            dec_flat = jnp.zeros((D_cap,), jnp.int32).at[ddst].set(
+                flat, mode="drop")
+            dec_cnt = jnp.zeros((D_cap,), jnp.int32).at[ddst].set(
+                cnt, mode="drop")
+            dec = (dec_pk, dec_flat, dec_cnt, ndec)
     payload = tj_c | (band4 << 16) | (cnt << 20)
     if okbit is not None:
         payload = payload | (okbit << 28)
@@ -640,37 +650,42 @@ def _moment_decode(words, dec_pk, dec_flat, dec_cnt, ndec, G: int, K: int,
     (cnt <= K, guaranteed by the _regroup_emit_runs routing).
 
     ``words`` is tile_run_counts' (S_flat, 128) packed decode-word plane
-    (``min(cc,3) << 16 | is << 7 | d``, exact for cc <= 2 columns: is =
-    i1 + i2 <= 254 and d = |i1 - i2| <= 127 never hit the field clamps);
+    (``min(cc,3) << 29 | is << 21 | iq``, exact for cc <= 2 columns:
+    is = i1 + i2 <= 254 and iq = i1^2 + i2^2 < 2^21 never carry);
     ``dec_*`` are the (D_cap,) compacted pair arrays from
-    _regroup_emit_runs.  Live columns carry word >= 1 << 16 > 0 = dead
+    _regroup_emit_runs.  Live columns carry word >= 1 << 29 > 0 = dead
     columns, so per pair ``top_k(K)`` surfaces exactly the live columns
     (order within the pair is irrelevant to the contact set).  Measured
     rates (benchmarks/micro_xla_decode.py, v5e): row-gather 3.6 ms +
-    top_k(8) 4.8 ms at 131k x 128, two ~1M-update scatters ~2 ms each —
-    vs ~0.7 us per pair inside the emit kernel (the per-pair MXU-launch
-    floor that made the in-kernel fast paths ~neutral).
+    top_k(8) 4.8 ms at 131k x 128 — vs ~0.7 us per pair inside the emit
+    kernel (the per-pair MXU-launch floor that made the in-kernel fast
+    paths ~neutral).  The stream is built with ONE packed scatter
+    (payload ``e << 14 | i << 7 | col``, hence D_cap <= 2^17 — enforced
+    by the caller's spill-to-emit routing) + one (capacity,) unpack
+    gather of the small per-pair arrays, instead of two full-value
+    scatters.
 
     Returns ``(gi, gj, total)`` — a dense (capacity,) contact-position
     stream in _merge_streams part format.
     """
     D_cap = dec_pk.shape[0]
+    assert D_cap <= 1 << 17, D_cap
     S_flat = words.shape[0]
     rows = words[jnp.clip(dec_flat, 0, S_flat - 1)]        # (D_cap, 128)
     vals, cols = jax.lax.top_k(rows, K)                    # (D_cap, K)
     e_in = jnp.arange(D_cap, dtype=jnp.int32)[:, None] < ndec
-    cc = jnp.where(e_in, (vals >> 16) & 3, 0)
-    isv = (vals >> 7) & 0x1FF
-    dv = vals & 0x7F
+    cc = jnp.where(e_in, (vals >> 29) & 3, 0)
+    isv = (vals >> 21) & 0xFF
+    iq = vals & 0x1FFFFF
+    dv = jnp.sqrt(jnp.maximum(2 * iq - isv * isv, 0)
+                  .astype(jnp.float32)).astype(jnp.int32)
     one = cc >= 1
     two = cc == 2
     i1 = jnp.where(two, (isv - dv) >> 1, isv)
     i2 = (isv + dv) >> 1
-    ti = (dec_pk >> 16) & 0xFFFF
-    tj = dec_pk & 0xFFFF
-    gi1 = ti[:, None] * G + i1
-    gi2 = ti[:, None] * G + i2
-    gjc = tj[:, None] * G + cols
+    e_id = jnp.arange(D_cap, dtype=jnp.int32)[:, None] << 14
+    p1 = e_id | (i1 << 7) | cols
+    p2 = e_id | (i2 << 7) | cols
     nk = jnp.where(one, cc, 0)
     exc = jnp.cumsum(nk, axis=1) - nk                      # within-pair
     offs = jnp.cumsum(dec_cnt) - dec_cnt                   # pair offsets
@@ -678,10 +693,13 @@ def _moment_decode(words, dec_pk, dec_flat, dec_cnt, ndec, G: int, K: int,
     d1 = jnp.where(one, offs[:, None] + exc, capacity)
     d2 = jnp.where(two, offs[:, None] + exc + 1, capacity)
     dst = jnp.concatenate([d1, d2], axis=1).reshape(-1)
-    vgi = jnp.concatenate([gi1, gi2], axis=1).reshape(-1)
-    vgj = jnp.concatenate([gjc, gjc], axis=1).reshape(-1)
-    gi = jnp.zeros((capacity,), jnp.int32).at[dst].set(vgi, mode="drop")
-    gj = jnp.zeros((capacity,), jnp.int32).at[dst].set(vgj, mode="drop")
+    pk = jnp.concatenate([p1, p2], axis=1).reshape(-1)
+    stream = jnp.zeros((capacity,), jnp.int32).at[dst].set(
+        pk, mode="drop")
+    # unpack: pair id -> (ti, tj) via one gather of the (D_cap,) array
+    spk = dec_pk[jnp.clip(stream >> 14, 0, D_cap - 1)]
+    gi = ((spk >> 16) & 0xFFFF) * G + ((stream >> 7) & 0x7F)
+    gj = (spk & 0xFFFF) * G + (stream & 0x7F)
     # f32 to match the emit kernel's stream parts in _merge_streams
     # (positions < 2^24 are f32-exact)
     return gi.astype(jnp.float32), gj.astype(jnp.float32), total
@@ -1012,7 +1030,13 @@ def traverse_tiles_fixed(bvh: BVH, capacity: int, *,
         W2 = alg.emit_w
         S2_cap, CHUNK2 = _step_caps(T + capacity // (8 * W2))
         E2_cap = max(4096, capacity // 8)
-        D_cap = min(max(8192, capacity // 2), E2_cap * R) if DK else 0
+        # the decode's top_k/scatter cost scales with D_cap, not live pairs:
+        # size for the typical decodable population (pairs <= contacts;
+        # ~11k at 1M) — overflow spills to the emit kernel, so tight is
+        # safe (rays, whose live pairs ~approach capacity/2, size their
+        # own in ray_tiles.py)
+        D_cap = min(max(8192, capacity // 8), E2_cap * R, 1 << 17) \
+            if DK else 0
         regrouped = _regroup_emit_runs(
             a_idx, run_idx, bm_grp, counts, W2, S2_cap, E2_cap, T, R, NB,
             colmax=colmax, decode_k=DK, D_cap=D_cap)
