@@ -163,9 +163,10 @@ def main():
                                           lambda d=dead: d))
         barred = jax.lax.optimization_barrier(
             tuple(jnp.concatenate([p[k] for p in cnt_parts])
-                  for k in range(3 if DK else 2)))
+                  for k in range(2)) +
+            (tuple(p[2] for p in cnt_parts) if DK else ()))
         counts, colmax = barred[0], barred[1]
-        words = barred[2] if DK else None
+        words = barred[2:] if DK else None
         return bvh, fields, a_idx, run_idx, bm_grp, counts, colmax, words
 
     S2_cap, CHUNK2 = _step_caps(T_tiles + capacity // (8 * W2))

@@ -171,9 +171,10 @@ def main():
                                           lambda d=dead: d))
         barred = jax.lax.optimization_barrier(
             tuple(jnp.concatenate([p[k] for p in cnt_parts])
-                  for k in range(3 if DK else 2)))
+                  for k in range(2)) +
+            (tuple(p[2] for p in cnt_parts) if DK else ()))
         counts, colmax = barred[0], barred[1]
-        words = barred[2] if DK else None
+        words = barred[2:] if DK else None
         return (rfields, perm, a_idx, run_idx, bm_grp, nsteps, counts,
                 colmax, words)
 
@@ -183,7 +184,8 @@ def main():
         return (counts.sum() + colmax[0]).astype(jnp.float32)
 
     S2_cap, CHUNK2 = _step_caps(RT + capacity // W2)
-    E2_cap = max(4096, capacity // 2)
+    # match traverse_rays_tiles_fixed's sizing (ray_tiles.py): capacity//4
+    E2_cap = max(4096, capacity // 4)
     D_cap = min(max(8192, capacity // 2), E2_cap * R, 1 << 17) if DK else 0
 
     def _regroup(q, d2):

@@ -131,7 +131,7 @@ def _ray_tile_hits(rfields, tile_lo, tile_up, NB: int = 4):
         hit = (tmin <= tmax) & (tmax >= 0)
         hb = jnp.any(hit.reshape(MB * NB, BH, T), axis=1)
         return jnp.sum(hb.reshape(MB, NB, T).astype(jnp.int32) * wts,
-                       axis=1)
+                       axis=1, dtype=jnp.int32)
 
     return jax.lax.map(block, stacked).reshape(RTB * MB, T)[:RT]
 
@@ -162,7 +162,9 @@ def _phase1_ray_runs(rfields, tile_lo, tile_up, W: int, S_cap: int,
             [bits, jnp.zeros((RT, NGT * R - T), jnp.int32)], axis=1)
     wts = jnp.asarray([1 << (NB * j) for j in range(TPW)], jnp.int32)
     words = (bits.reshape(RT, NGT, NW, TPW) *
-             wts[None, None, None, :]).sum(-1)       # (RT, NGT, NW)
+             wts[None, None, None, :]).sum(-1, dtype=jnp.int32)
+    # (RT, NGT, NW); int32 accumulation — the default would promote to
+    # int64 under x64 (tests) and wrap at the run_idx scatter
     # f32: the product overflows int32 beyond ~2^31 tests (seen at 100k
     # rays x 262k BVs); num_checks is a diagnostic count
     num_checks = jnp.sum(
@@ -328,12 +330,14 @@ def traverse_rays_tiles_fixed(bvh: BVH, points, directions, capacity: int, *,
             cnt_parts.append(jax.lax.cond(ns_c > 0, run_chunk,
                                           lambda d=dead: d))
         # barrier: see tiles.py — XLA otherwise re-reads the count
-        # kernel's reused output buffer in one of the two consumers
+        # kernel's reused output buffer in one of the two consumers.
+        # Moment-word planes stay per-chunk (no ~GB concat copy).
         barred = jax.lax.optimization_barrier(
             tuple(jnp.concatenate([p[k] for p in cnt_parts])
-                  for k in range(3 if DK else 2)))
+                  for k in range(2)) +
+            (tuple(p[2] for p in cnt_parts) if DK else ()))
         counts, colmax = barred[0], barred[1]
-        words = barred[2] if DK else None
+        words = barred[2:] if DK else None
         slot_overflow = jnp.any(counts > alg.pair_cap)
 
         W2 = alg.emit_w

@@ -438,7 +438,7 @@ def _runs_from_bits(bits, si, sj, SS: int, G: int, W: int, S_cap: int,
     wts = jnp.asarray([1 << (NB * j) for j in range(TPW)], jnp.int32)
     # (SP_cap, SS, NG, NW): word q of run g covers tiles [q*TPW, +TPW)
     words = (bits.reshape(SP_cap, SS, NG, NW, TPW) *
-             wts[None, None, None, None, :]).sum(-1)
+             wts[None, None, None, None, :]).sum(-1, dtype=jnp.int32)
     # f32: the product overflows int32 beyond ~2^31 tests (seen at 100k
     # rays x 262k BVs); num_checks is a diagnostic count, f32 rounding
     # (24-bit mantissa) is immaterial
@@ -667,11 +667,30 @@ def _moment_decode(words, dec_pk, dec_flat, dec_cnt, ndec, G: int, K: int,
 
     Returns ``(gi, gj, total)`` — a dense (capacity,) contact-position
     stream in _merge_streams part format.
+
+    ``words`` may be a tuple of equal-size per-chunk planes (the count
+    kernel's chunked outputs): concatenating them first costs a full
+    HBM copy of the ~GB-scale mostly-dead plane (measured ~10 ms inside
+    the 1M decode stage vs ~3 predicted without it), so the row gather
+    runs per chunk with local indices and masked accumulation — the
+    independent gathers overlap like any others.
     """
     D_cap = dec_pk.shape[0]
     assert D_cap <= 1 << 17, D_cap
-    S_flat = words.shape[0]
-    rows = words[jnp.clip(dec_flat, 0, S_flat - 1)]        # (D_cap, 128)
+    if not isinstance(words, (tuple, list)):
+        words = (words,)
+    rpc = words[0].shape[0]
+    S_flat = sum(w.shape[0] for w in words)
+    idx = jnp.clip(dec_flat, 0, S_flat - 1)
+    if len(words) == 1:
+        rows = words[0][idx]                               # (D_cap, 128)
+    else:
+        rows = jnp.zeros((D_cap, 128), jnp.int32)
+        for c, wc in enumerate(words):
+            ic = idx - c * rpc
+            inc = (ic >= 0) & (ic < wc.shape[0])
+            rows = rows + jnp.where(
+                inc[:, None], wc[jnp.clip(ic, 0, wc.shape[0] - 1)], 0)
     vals, cols = jax.lax.top_k(rows, K)                    # (D_cap, K)
     e_in = jnp.arange(D_cap, dtype=jnp.int32)[:, None] < ndec
     cc = jnp.where(e_in, (vals >> 29) & 3, 0)
@@ -1020,11 +1039,15 @@ def traverse_tiles_fixed(bvh: BVH, capacity: int, *,
         # the kernel's output buffer after it has been reused, yielding
         # partially-zero counts (measured: 77/118 emit entries dropped at
         # N=5000 on the real chip; bit-exact in interpret mode).
+        # the moment-word planes stay per-chunk: concatenating them costs
+        # a full HBM copy of the ~GB-scale plane (_moment_decode gathers
+        # per chunk instead)
         barred = jax.lax.optimization_barrier(
             tuple(jnp.concatenate([p[k] for p in cnt_parts])
-                  for k in range(3 if DK else 2)))
+                  for k in range(2)) +
+            (tuple(p[2] for p in cnt_parts) if DK else ()))
         counts, colmax = barred[0], barred[1]
-        words = barred[2] if DK else None
+        words = barred[2:] if DK else None
         slot_overflow = jnp.any(counts > alg.pair_cap)
 
         W2 = alg.emit_w

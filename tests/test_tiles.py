@@ -314,3 +314,40 @@ def test_tiles_moment_decode_narrow():
     t = traverse_tiles(bvh, alg=TileTraversal(tile=32, decode_k=8),
                        narrow=narrow)
     assert set(t.contacts_list()) == bf_n
+
+
+def test_moment_decode_chunked_words():
+    """_moment_decode accepts the count kernel's per-chunk word planes
+    (avoiding a full-plane concat copy at scale) and must produce the
+    identical stream to the single concatenated plane."""
+    from implicitbvh_tpu.traverse.tiles import _moment_decode
+    rng = np.random.default_rng(7)
+    S, D, G, K, cap = 96, 16, 128, 4, 64
+    # synthetic decode words: cc in 1..2, is = i1+i2, iq = i1^2+i2^2
+    i1 = rng.integers(0, G, (S, 128))
+    i2 = np.minimum(i1 + rng.integers(0, 4, (S, 128)), G - 1)
+    cc = rng.integers(0, 3, (S, 128))
+    cc = np.where(rng.random((S, 128)) < 0.9, 0, cc)  # mostly dead cols
+    isv = np.where(cc == 2, i1 + i2, np.where(cc == 1, i1, 0))
+    iqv = np.where(cc == 2, i1 * i1 + i2 * i2,
+                   np.where(cc == 1, i1 * i1, 0))
+    words = jnp.asarray((cc << 29) | (isv << 21) | iqv, jnp.int32)
+    # pick pairs whose live-column count fits K and cap
+    cnt = np.minimum(cc, 2).sum(axis=1)
+    live_cols = (cc > 0).sum(axis=1)
+    ok = np.where((cnt >= 1) & (live_cols <= K))[0][:D]
+    ndec = len(ok)
+    dec_flat = np.zeros(D, np.int32)
+    dec_cnt = np.zeros(D, np.int32)
+    dec_pk = np.zeros(D, np.int32)
+    dec_flat[:ndec] = ok
+    dec_cnt[:ndec] = cnt[ok]
+    dec_pk[:ndec] = (np.arange(ndec) << 16) | (ndec - np.arange(ndec))
+    args = (jnp.asarray(dec_pk), jnp.asarray(dec_flat),
+            jnp.asarray(dec_cnt), jnp.asarray(np.int32(ndec)), G, K, cap)
+    gi1, gj1, tot1 = _moment_decode(words, *args)
+    gi2, gj2, tot2 = _moment_decode(
+        (words[:32], words[32:64], words[64:]), *args)
+    assert int(tot1) == int(tot2) == int(cnt[ok].sum())
+    np.testing.assert_array_equal(np.asarray(gi1), np.asarray(gi2))
+    np.testing.assert_array_equal(np.asarray(gj1), np.asarray(gj2))
