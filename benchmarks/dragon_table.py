@@ -76,7 +76,10 @@ def main():
     dr = jnp.asarray((rng2.random((3, N_RAYS)) - 0.5).astype(np.float32))
 
     cap_c = 1 << max(math.ceil(math.log2(N_TRI)) - 3, 12)
-    cap_r = 1 << 19
+    # 196,130 hits measured: 2^18 carries 1.34x headroom and the overflow
+    # flag + assert guard it; 2^19 cost ~+15 ms in capacity-proportional
+    # stages (regroup expansion, decode unpack, merge, finish)
+    cap_r = 1 << 18
     alg = TileTraversal(row_cap=4, pair_cap=32)
 
     def s_volumes(q1, q2, q3):

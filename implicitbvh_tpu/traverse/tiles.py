@@ -554,16 +554,20 @@ def _regroup_emit_runs(a_idx, run_idx, bm_words, counts, W2: int,
     slot = jnp.arange(SW, dtype=jnp.int32)
     key_u = jax.lax.bitcast_convert_type(
         jnp.where(run_live, slot, -1), jnp.uint32)
-    ti_slot = jnp.repeat(a_idx, Win)
+    # ti (16 bits) and the run's base (low 16 bits of run_idx — the only
+    # bits read) pack into ONE payload word: one less full-width array
+    # through the variadic sort (sort cost ~ total element count)
+    tr = (jnp.repeat(a_idx, Win) << 16) | (run_idx & 0xFFFF)
     sorted_ops = jax.lax.sort(
-        (key_u, ti_slot, run_idx, *bm_words, *cw, *okw), num_keys=1)
-    ti_r = sorted_ops[1][:E2c]
-    base_r = sorted_ops[2][:E2c] & 0xFFFF
-    words_r = [w[:E2c] for w in sorted_ops[3:3 + len(bm_words)]]
+        (key_u, tr, *bm_words, *cw, *okw), num_keys=1)
+    tr_r = sorted_ops[1][:E2c]
+    ti_r = (tr_r >> 16) & 0xFFFF
+    base_r = tr_r & 0xFFFF
+    words_r = [w[:E2c] for w in sorted_ops[2:2 + len(bm_words)]]
     ncw = len(cw)
     cw_r = [w[:E2c] for w in
-            sorted_ops[3 + len(bm_words):3 + len(bm_words) + ncw]]
-    okw_r = [w[:E2c] for w in sorted_ops[3 + len(bm_words) + ncw:]]
+            sorted_ops[2 + len(bm_words):2 + len(bm_words) + ncw]]
+    okw_r = [w[:E2c] for w in sorted_ops[2 + len(bm_words) + ncw:]]
     # expand R-wide
     E = E2c * R
     ti_flat = jnp.repeat(ti_r, R)
