@@ -188,6 +188,31 @@ def main():
     E2_cap = max(4096, capacity // 4)
     D_cap = min(max(8192, capacity // 2), E2_cap * R, 1 << 17) if DK else 0
 
+    def s_rsort(q, d2):
+        # regroup-front probe: the (SW,)-wide packing + compaction sort
+        # only (the regroup's first half); delta vs `kernel` isolates it
+        # from the R-wide expansion + decode split + leader grouping
+        (rfields, perm, a_idx, run_idx, bm_grp, nsteps, counts, colmax,
+         words) = _counts(q, d2)
+        SW = run_idx.shape[0]
+        Win = SW // a_idx.shape[0]
+        rc = counts.reshape(SW, R)
+        run_live = rc.max(axis=1) > 0
+        rcc = jnp.minimum(rc, 255)
+        bsel = jnp.asarray([1 << (8 * i) for i in range(4)], jnp.int32)
+        cw = [(rcc[:, 4 * q2:4 * q2 + 4] * bsel[None, :]).sum(
+            axis=1, dtype=jnp.int32) for q2 in range(R // 4)]
+        okb = (colmax.reshape(SW, R) <= 2).astype(jnp.int32)
+        okw = [(okb * (1 << jnp.arange(R, dtype=jnp.int32))[None, :]).sum(
+            axis=1, dtype=jnp.int32)]
+        slot = jnp.arange(SW, dtype=jnp.int32)
+        key_u = jax.lax.bitcast_convert_type(
+            jnp.where(run_live, slot, -1), jnp.uint32)
+        tr = (jnp.repeat(a_idx, Win) << 16) | (run_idx & 0xFFFF)
+        sorted_ops = jax.lax.sort(
+            (key_u, tr, *bm_grp, *cw, *okw), num_keys=1)
+        return sum(o[0].astype(jnp.float32) for o in sorted_ops)
+
     def _regroup(q, d2):
         (rfields, perm, a_idx, run_idx, bm_grp, nsteps, counts, colmax,
          words) = _counts(q, d2)
@@ -291,7 +316,7 @@ def main():
                 contacts.sum(dtype=jnp.int32).astype(jnp.float32) * 1e-9)
 
     stages = [("sort", s_sort), ("phase1", s_phase1), ("kernel", s_kernel),
-              ("regroup", s_regroup)] + \
+              ("rsort", s_rsort), ("regroup", s_regroup)] + \
         ([("decode", s_decode)] if DK else []) + \
         [("emit", s_emit), ("emitc", s_emitc),
          ("merge", s_merge), ("finish", s_finish), ("full", s_full)]

@@ -673,18 +673,30 @@ def _moment_decode(words, dec_pk, dec_flat, dec_cnt, ndec, G: int, K: int,
     stream in _merge_streams part format.
 
     ``words`` may be a tuple of equal-size per-chunk planes (the count
-    kernel's chunked outputs): concatenating them first costs a full
-    HBM copy of the ~GB-scale mostly-dead plane (measured ~10 ms inside
-    the 1M decode stage vs ~3 predicted without it), so the row gather
-    runs per chunk with local indices and masked accumulation — the
-    independent gathers overlap like any others.
+    kernel's chunked outputs).  Two ways to gather the live rows, with
+    opposite winning regimes (both measured on v5e):
+
+    - **concatenate first** (one full HBM relayout copy of the plane at
+      ~100e9 int32/s, then ONE row gather): wins when D_cap is large —
+      per-chunk gathers would re-gather all D_cap rows from EVERY
+      chunk (rays: 6 chunks x (131k, 128) gathers measured 28.6 ms vs
+      16.7 with the concat);
+    - **per-chunk masked gathers** (no copy): wins when D_cap is small
+      relative to the plane (1M self-contact: D_cap 16k, the concat
+      copy alone was ~4 ms of a 10.2 ms decode).
+
+    Row gathers run ~21x more HBM-expensive per element than the
+    relayout copy (4.7e9 vs ~100e9 int32/s), hence the crossover
+    below.
     """
     D_cap = dec_pk.shape[0]
     assert D_cap <= 1 << 17, D_cap
     if not isinstance(words, (tuple, list)):
         words = (words,)
-    rpc = words[0].shape[0]
     S_flat = sum(w.shape[0] for w in words)
+    if len(words) > 1 and len(words) * D_cap * 21 >= S_flat:
+        words = (jnp.concatenate(words),)
+    rpc = words[0].shape[0]
     idx = jnp.clip(dec_flat, 0, S_flat - 1)
     if len(words) == 1:
         rows = words[0][idx]                               # (D_cap, 128)

@@ -346,8 +346,17 @@ def test_moment_decode_chunked_words():
     args = (jnp.asarray(dec_pk), jnp.asarray(dec_flat),
             jnp.asarray(dec_cnt), jnp.asarray(np.int32(ndec)), G, K, cap)
     gi1, gj1, tot1 = _moment_decode(words, *args)
+    # 3 chunks of 32: len*D_cap*21 >= S_flat -> the concat branch
     gi2, gj2, tot2 = _moment_decode(
         (words[:32], words[32:64], words[64:]), *args)
     assert int(tot1) == int(tot2) == int(cnt[ok].sum())
     np.testing.assert_array_equal(np.asarray(gi1), np.asarray(gi2))
     np.testing.assert_array_equal(np.asarray(gj1), np.asarray(gj2))
+    # zero-pad to 4 chunks of 2048: 4*16*21 < 8192 -> per-chunk masked
+    # gathers (the small-D_cap regime); dead rows decode to nothing
+    wpad = jnp.concatenate([words, jnp.zeros((8192 - S, 128), jnp.int32)])
+    gi3, gj3, tot3 = _moment_decode(
+        tuple(wpad[i * 2048:(i + 1) * 2048] for i in range(4)), *args)
+    assert int(tot3) == int(tot1)
+    np.testing.assert_array_equal(np.asarray(gi1), np.asarray(gi3))
+    np.testing.assert_array_equal(np.asarray(gj1), np.asarray(gj3))
