@@ -654,10 +654,10 @@ def _moment_decode(words, dec_pk, dec_flat, dec_cnt, ndec, G: int, K: int,
     (cnt <= K, guaranteed by the _regroup_emit_runs routing).
 
     ``words`` is tile_run_counts' (S_flat, 128) packed decode-word plane
-    (``min(cc,3) << 29 | is << 21 | iq``, exact for cc <= 2 columns:
-    is = i1 + i2 <= 254 and iq = i1^2 + i2^2 < 2^21 never carry);
+    (``cc << 23 | is << 15 | iq``, exact for cc <= 2 columns:
+    is = i1 + i2 <= 254 and iq = i1^2 + i2^2 < 2^15 never carry);
     ``dec_*`` are the (D_cap,) compacted pair arrays from
-    _regroup_emit_runs.  Live columns carry word >= 1 << 29 > 0 = dead
+    _regroup_emit_runs.  Live columns carry word >= 1 << 23 > 0 = dead
     columns, so per pair ``top_k(K)`` surfaces exactly the live columns
     (order within the pair is irrelevant to the contact set).  Measured
     rates (benchmarks/micro_xla_decode.py, v5e): row-gather 3.6 ms +
@@ -709,9 +709,9 @@ def _moment_decode(words, dec_pk, dec_flat, dec_cnt, ndec, G: int, K: int,
                 inc[:, None], wc[jnp.clip(ic, 0, wc.shape[0] - 1)], 0)
     vals, cols = jax.lax.top_k(rows, K)                    # (D_cap, K)
     e_in = jnp.arange(D_cap, dtype=jnp.int32)[:, None] < ndec
-    cc = jnp.where(e_in, (vals >> 29) & 3, 0)
-    isv = (vals >> 21) & 0xFF
-    iq = vals & 0x1FFFFF
+    cc = jnp.where(e_in, (vals >> 23) & 0xFF, 0)
+    isv = (vals >> 15) & 0xFF
+    iq = vals & 0x7FFF
     dv = jnp.sqrt(jnp.maximum(2 * iq - isv * isv, 0)
                   .astype(jnp.float32)).astype(jnp.int32)
     one = cc >= 1

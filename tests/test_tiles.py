@@ -331,7 +331,7 @@ def test_moment_decode_chunked_words():
     isv = np.where(cc == 2, i1 + i2, np.where(cc == 1, i1, 0))
     iqv = np.where(cc == 2, i1 * i1 + i2 * i2,
                    np.where(cc == 1, i1 * i1, 0))
-    words = jnp.asarray((cc << 29) | (isv << 21) | iqv, jnp.int32)
+    words = jnp.asarray((cc << 23) | (isv << 15) | iqv, jnp.int32)
     # pick pairs whose live-column count fits K and cap
     cnt = np.minimum(cc, 2).sum(axis=1)
     live_cols = (cc > 0).sum(axis=1)
