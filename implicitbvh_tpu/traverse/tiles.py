@@ -508,9 +508,9 @@ def _regroup_emit_runs(a_idx, run_idx, bm_words, counts, W2: int,
     expansion directly costs ~30 ms at 1M in scans/scatters.  Two-level
     scheme instead: (1) compact the *run slots* with any live tile
     (<= live pairs <= capacity) into an (E2_cap,) slot list — the only
-    full-width pass is one cumsum + one scatter over S_cap * W; (2) gather
-    those runs' metadata and counts and expand them R-wide (E2_cap * R
-    entries) for the leader grouping.
+    full-width pass is ONE single-operand sort of the slot keys;
+    (2) gather those runs' metadata and counts at the compacted slots and
+    expand them R-wide (E2_cap * R entries) for the leader grouping.
 
     ``decode_k > 0`` splits off the pairs the XLA moment decode can
     finish without the emit kernel (colmax <= 2 and cnt <= decode_k,
@@ -532,42 +532,30 @@ def _regroup_emit_runs(a_idx, run_idx, bm_words, counts, W2: int,
     nlive = jnp.sum(run_live.astype(jnp.int32))
     E2c = min(E2_cap, SW)
     over2 = nlive > E2c
-    # sort-slice compaction (same trick as _runs_from_bits): dead runs get
-    # key -1 (sorts last as uint32), live runs keep their slot index, so
-    # the first E2c slots of the sorted list are the compacted live runs in
-    # slot (= ti-sorted) order.  The counts ride the sort packed 4-per-word
-    # (clamped to the payload's 8-bit field) — this replaces the
-    # cumsum+scatter compaction plus 4-5 row gathers (~0.1e9 elem/s each).
-    rcc = jnp.minimum(rc, 255)
-    bsel = jnp.asarray([1 << (8 * i) for i in range(4)], jnp.int32)
-    cw = [(rcc[:, 4 * q:4 * q + 4] * bsel[None, :]).sum(
-        axis=1, dtype=jnp.int32) for q in range(R // 4)]
-    # colmax <= 2 flags pack one bit per tile into a single per-run word
-    # (R <= 32) and ride the sort; they become payload bit 28 (the emit
-    # kernel's column-moment route)
-    if colmax is not None:
-        okb = (colmax.reshape(SW, R) <= 2).astype(jnp.int32)
-        okw = [(okb * (1 << jnp.arange(R, dtype=jnp.int32))[None, :]).sum(
-            axis=1, dtype=jnp.int32)]
-    else:
-        okw = []
+    # ONE-operand sort-slice compaction: dead runs get key -1 (sorts
+    # last as uint32), live runs keep their slot index, so the first E2c
+    # sorted keys ARE the compacted live-run slot list in slot
+    # (= ti-sorted) order — and the key IS the original slot index, so
+    # every payload (ti, run base, band words, count rows, colmax flags)
+    # is GATHERED at slot_r after the sort instead of riding it as extra
+    # variadic operands.  The ride cost scaled with operands x SW
+    # (6 full-width arrays at ray scale, ~0.4e9 elem/s); the E2c-sized
+    # replacement gathers are independent and overlap to ~one gather.
     slot = jnp.arange(SW, dtype=jnp.int32)
     key_u = jax.lax.bitcast_convert_type(
         jnp.where(run_live, slot, -1), jnp.uint32)
-    # ti (16 bits) and the run's base (low 16 bits of run_idx — the only
-    # bits read) pack into ONE payload word: one less full-width array
-    # through the variadic sort (sort cost ~ total element count)
-    tr = (jnp.repeat(a_idx, Win) << 16) | (run_idx & 0xFFFF)
-    sorted_ops = jax.lax.sort(
-        (key_u, tr, *bm_words, *cw, *okw), num_keys=1)
-    tr_r = sorted_ops[1][:E2c]
-    ti_r = (tr_r >> 16) & 0xFFFF
-    base_r = tr_r & 0xFFFF
-    words_r = [w[:E2c] for w in sorted_ops[2:2 + len(bm_words)]]
-    ncw = len(cw)
-    cw_r = [w[:E2c] for w in
-            sorted_ops[2 + len(bm_words):2 + len(bm_words) + ncw]]
-    okw_r = [w[:E2c] for w in sorted_ops[2 + len(bm_words) + ncw:]]
+    key_s = jax.lax.sort(key_u)
+    slot_r = jax.lax.bitcast_convert_type(key_s[:E2c], jnp.int32)
+    slot_c = jnp.maximum(slot_r, 0)     # dead tail -> any in-range row
+    ti_r = a_idx[slot_c // Win]
+    base_r = run_idx[slot_c] & 0xFFFF
+    words_r = [w[slot_c] for w in bm_words]
+    # counts clamp to the payload's 8-bit field; (E2c, R) row gather
+    rc_r = jnp.minimum(rc[slot_c], 255)
+    # colmax <= 2 flags become payload bit 28 (the emit kernel's
+    # column-moment route)
+    ok_r = ((colmax.reshape(SW, R)[slot_c] <= 2).astype(jnp.int32)
+            if colmax is not None else None)
     # expand R-wide
     E = E2c * R
     ti_flat = jnp.repeat(ti_r, R)
@@ -588,18 +576,13 @@ def _regroup_emit_runs(a_idx, run_idx, bm_words, counts, W2: int,
             live_c = ((bits_nb >> (c * gsz)) & ((1 << gsz) - 1)) != 0
             band4 = band4 | (live_c.astype(jnp.int32) << c)
     tj = jnp.repeat(base_r, R) * R + t
-    csel = jnp.repeat(cw_r[0], R)
-    for q in range(1, len(cw_r)):
-        csel = jnp.where(t // 4 == q, jnp.repeat(cw_r[q], R), csel)
-    cnt = (csel >> (8 * (t % 4))) & 0xFF
+    cnt = rc_r.reshape(-1)              # (E2c * R,) in (slot, t) order
     el = jnp.arange(E, dtype=jnp.int32)
     valid = (cnt > 0) & (el < nlive * R)
     # dead entries never reach the kernel, but clamp their tj to the pad
     # tile so the payload's 16-bit field can't overflow near T = 2^16
     tj_c = jnp.where(valid, tj, T_pad)
-    okbit = None
-    if okw_r:
-        okbit = (jnp.repeat(okw_r[0], R) >> t) & 1
+    okbit = None if ok_r is None else ok_r.reshape(-1)
     dec = None
     emit_valid = valid
     if decode_k:
@@ -620,8 +603,6 @@ def _regroup_emit_runs(a_idx, run_idx, bm_words, counts, W2: int,
         # (<= 255) rides the same scatter in bits [23, 31) when the flat
         # row index fits 23 bits (every standard config; a third scatter
         # covers the rest)
-        slot_r = jax.lax.bitcast_convert_type(
-            sorted_ops[0][:E2c], jnp.int32)
         flat = jnp.repeat(slot_r, R) * R + t
         dec_pk = jnp.zeros((D_cap,), jnp.int32).at[ddst].set(
             (ti_flat << 16) | tj_c, mode="drop")
